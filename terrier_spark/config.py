@@ -1,0 +1,102 @@
+"""Engine configuration.
+
+The reference configures everything through a global properties file
+(org/terrier/utility/ApplicationSetup.java) with reflection-based plugin
+loading; here the same knobs are plain dataclasses (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Sequence
+
+
+# Default stopword list committed to the repo (FIXTURES.md §2) so tests never
+# depend on an external stopword-list.txt.  Reference format: one word per
+# line (org/terrier/terms/Stopwords.java:118-149).
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "of", "and", "a", "in", "to", "is", "was", "it", "for",
+    "with", "as", "be", "on", "not", "he", "this", "are", "or", "his",
+    "from", "at", "which", "but", "have", "an", "had", "they", "you",
+    "were",
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Tokenizer + term-pipeline knobs.
+
+    Defaults mirror the reference:
+      * max_term_length = 20   (org/terrier/utility/ApplicationSetup.java:459)
+      * max_digits = 4, max_conseq = 3, lowercase
+        (org/terrier/indexing/tokenisation/EnglishTokeniser.java:61-74,155-181)
+      * default pipeline "Stopwords,PorterStemmer"
+        (org/terrier/structures/indexing/Indexer.java:275-279)
+    """
+
+    max_term_length: int = 20
+    max_digits: int = 4
+    max_conseq: int = 3
+    lowercase: bool = True
+    stopwords: Optional[Sequence[str]] = DEFAULT_STOPWORDS
+    stem: bool = True  # PorterStemmer on/off
+
+    def key(self) -> tuple:
+        sw = tuple(sorted(self.stopwords)) if self.stopwords else ()
+        return (self.max_term_length, self.max_digits, self.max_conseq,
+                self.lowercase, sw, self.stem)
+
+
+# A pipeline that can be mirrored exactly in ANSI SQL (DuckDB oracle): the
+# tokenizer validity rules are regex-expressible, stopwords are a literal
+# IN-list, and there is no stemmer.  Used by the driver correctness gate.
+SQL_SAFE_PIPELINE = PipelineConfig(stem=False)
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Terrier's BM25 variant (org/terrier/matching/models/BM25.java:43-74).
+
+    K     = k1*((1-b) + b*doclen/avgdl) + tf
+    score = tf*(k3+1)*qtf / ((k3+qtf)*K) * log2((N - Nt + 0.5)/(Nt + 0.5))
+
+    No (k1+1) numerator factor; log base 2
+    (WeightingModelLibrary.java:40-60).
+    """
+
+    k1: float = 1.2
+    k3: float = 8.0
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    # Posting-block chunk size, as the reference's chunked integer codec
+    # (org/terrier/structures/integer/IntegerCodecCompressionConfiguration.java:63,145).
+    block_size: int = 1024
+    # Number of salt buckets for the two-phase (term, salt) pre-aggregation
+    # that absorbs hot-term skew before the final merge by term.
+    shuffle_partitions: int = 32
+    # Assign docids in (sort_docids_by) order instead of ingest order --
+    # the Spark-native analog of the fork's docid-reordering experiments
+    # (org/terrier/applications/InvertedIndexReordering.java:114-140).
+    sort_docids_by: Optional[Sequence[str]] = None
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    bm25: BM25Config = field(default_factory=BM25Config)
+    # matching.retrieved_set_size default (org/terrier/matching/BaseMatching.java:283-284)
+    k: int = 1000
+    # Drop query terms whose collection frequency exceeds N
+    # (org/terrier/matching/PostingListManager.java:217-219, default on in
+    # this fork's version).
+    ignore_low_idf: bool = True
+    # Block-max WAND-style pruning on/off; results must be identical either
+    # way (bound-safe pruning).
+    prune: bool = True
+
+
+def with_pipeline(cfg: IndexConfig, pipeline: PipelineConfig) -> IndexConfig:
+    return replace(cfg, pipeline=pipeline)

@@ -1,0 +1,74 @@
+"""Term pipeline: tokenize -> stopword removal -> Porter stemming.
+
+Mirrors the reference's TermPipeline chain (org/terrier/terms/
+TermPipeline.java:33-49) with the default chain "Stopwords,PorterStemmer"
+(org/terrier/structures/indexing/Indexer.java:275-279).  A stage may drop
+a term (Stopwords.java:172-177 drops BEFORE stemming — order matters and
+is rank-critical).
+
+The SAME pipeline must be applied to queries at search time
+(org/terrier/querying/Manager.java:675-679); `make_pipeline` is that
+single shared entry point for both the index build and the query driver,
+and the pure-Python oracle calls it too, so any pipeline bug cancels out
+of correctness comparisons only if it is also a semantics bug — goldens
+in tests/test_pipeline.py pin the semantics independently.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from terrier_spark.config import PipelineConfig
+from terrier_spark.text.porter import porter_stem
+from terrier_spark.text.tokenizer import tokenize
+
+
+class TermPipeline:
+    """Callable: raw text -> list of processed terms (document order kept,
+    dropped terms removed — positions are indexes into the KEPT stream,
+    as in the reference's block indexing)."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.stop = frozenset(cfg.stopwords) if cfg.stopwords else frozenset()
+        self.stem = cfg.stem
+
+    def terms(self, text: str) -> List[str]:
+        toks = tokenize(text, self.cfg)
+        stop = self.stop
+        if stop:
+            toks = [t for t in toks if t not in stop]
+        if self.stem:
+            toks = [porter_stem(t) for t in toks]
+        return toks
+
+    __call__ = terms
+
+    def query_terms(self, query: str) -> List[str]:
+        """Process a bag-of-words query through the same chain
+        (Manager.java:675-679)."""
+        return self.terms(query)
+
+
+_CACHE: dict[tuple, TermPipeline] = {}
+
+
+def make_pipeline(cfg: Optional[PipelineConfig] = None) -> TermPipeline:
+    cfg = cfg or PipelineConfig()
+    key = cfg.key()
+    pipe = _CACHE.get(key)
+    if pipe is None:
+        pipe = _CACHE[key] = TermPipeline(cfg)
+    return pipe
+
+
+def load_stopwords(path: str) -> tuple[str, ...]:
+    """Reference stopword file format: one word per line, '#' comments
+    ignored (org/terrier/terms/Stopwords.java:118-149)."""
+    words = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            w = line.strip()
+            if w and not w.startswith("#"):
+                words.append(w.lower())
+    return tuple(words)

@@ -1,0 +1,75 @@
+"""Terrier-style English tokenizer.
+
+Behavioral contract (org/terrier/indexing/tokenisation/EnglishTokeniser.java):
+
+* tokens are maximal runs of [A-Za-z0-9] (:104-140);
+* a token longer than max_term_length (default 20) is DROPPED, not
+  truncated (:125-131, DROP_LONG_TOKENS=true);
+* the validity check runs on the RAW (pre-lowercase) token (:155-181):
+    - more than `max_digits` (4) digit characters anywhere -> dropped;
+    - more than `max_conseq` (3) consecutive IDENTICAL characters
+      (case-sensitive comparison) -> dropped;
+* surviving tokens are lowercased (lowercase=true default).
+
+Implemented with compiled regexes so per-document work is C-level; the
+Spark entry point is an Arrow pandas UDF wrapping `tokenize` row-wise
+over a batch (terrier_spark/index/builder.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from terrier_spark.config import PipelineConfig
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def _conseq_re(max_conseq: int) -> re.Pattern:
+    # matches max_conseq+1 consecutive identical chars (case-sensitive)
+    return re.compile(r"(.)\1{%d}" % max_conseq)
+
+
+def _digits_re(max_digits: int) -> re.Pattern:
+    # matches iff the string contains more than max_digits digit chars
+    return re.compile(r"(?:[^0-9]*[0-9]){%d}" % (max_digits + 1))
+
+
+_DEFAULT = PipelineConfig()
+_DEFAULT_CONSEQ = _conseq_re(_DEFAULT.max_conseq)
+_DEFAULT_DIGITS = _digits_re(_DEFAULT.max_digits)
+
+
+def check_term(s: str, cfg: PipelineConfig = _DEFAULT) -> str:
+    """Port of EnglishTokeniser.check (:155-181): return '' if invalid,
+    else the (lowercased) term."""
+    if len(s) > cfg.max_term_length:
+        return ""
+    if cfg is _DEFAULT:
+        digits, conseq = _DEFAULT_DIGITS, _DEFAULT_CONSEQ
+    else:
+        digits, conseq = _digits_re(cfg.max_digits), _conseq_re(cfg.max_conseq)
+    if digits.match(s) or conseq.search(s):
+        return ""
+    return s.lower() if cfg.lowercase else s
+
+
+def tokenize(text: str, cfg: PipelineConfig = _DEFAULT) -> List[str]:
+    """text -> list of valid (lowercased) terms, in document order."""
+    if not text:
+        return []
+    out = []
+    append = out.append
+    if cfg is _DEFAULT:
+        max_len, digits, conseq = _DEFAULT.max_term_length, _DEFAULT_DIGITS, _DEFAULT_CONSEQ
+        lower = _DEFAULT.lowercase
+    else:
+        max_len = cfg.max_term_length
+        digits, conseq = _digits_re(cfg.max_digits), _conseq_re(cfg.max_conseq)
+        lower = cfg.lowercase
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > max_len or digits.match(tok) or conseq.search(tok):
+            continue
+        append(tok.lower() if lower else tok)
+    return out

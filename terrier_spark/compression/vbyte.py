@@ -95,6 +95,44 @@ def encode_posting_block(docids: np.ndarray, tfs: np.ndarray) -> bytes:
     return header + id_bytes + tf_bytes
 
 
+def encode_scoring_block(docids: np.ndarray, tfs: np.ndarray,
+                         doclens: np.ndarray) -> bytes:
+    """Self-contained scoring block: VByte(gaps) ++ VByte(tfs) ++
+    VByte(doclens).  Carrying doclens inside the block means BM25 scoring
+    needs NO join against the docs table at query time — at 10^12-doc
+    scale neither a broadcast of doclens (the reference loads them all
+    into an int[] heap array, FSADocumentIndex.java:39-89) nor a shuffle
+    join would be acceptable; ~1 byte/posting here buys both back."""
+    ids = np.asarray(docids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty(ids.size, dtype=np.uint64)
+    gaps[0] = np.uint64(ids[0] + 1)
+    if ids.size > 1:
+        gaps[1:] = np.diff(ids).astype(np.uint64)
+    id_bytes = vbyte_encode(gaps)
+    tf_bytes = vbyte_encode(np.asarray(tfs, dtype=np.uint64))
+    dl_bytes = vbyte_encode(np.asarray(doclens, dtype=np.uint64))
+    header = np.array([ids.size, len(id_bytes), len(tf_bytes)],
+                      dtype=np.uint32).tobytes()
+    return header + id_bytes + tf_bytes + dl_bytes
+
+
+def decode_scoring_block(block: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (docids int64 ascending, tfs int64, doclens int64)."""
+    empty = np.empty(0, dtype=np.int64)
+    if not block:
+        return empty, empty, empty
+    header = np.frombuffer(block[:12], dtype=np.uint32)
+    n, id_len, tf_len = int(header[0]), int(header[1]), int(header[2])
+    o = 12
+    gaps = vbyte_decode(block[o : o + id_len], n)
+    tfs = vbyte_decode(block[o + id_len : o + id_len + tf_len], n)
+    dls = vbyte_decode(block[o + id_len + tf_len :], n)
+    ids = np.cumsum(gaps.astype(np.int64)) - 1
+    return ids, tfs.astype(np.int64), dls.astype(np.int64)
+
+
 def decode_posting_block(block: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode one posting block -> (docids int64 ascending, tfs int64)."""
     if not block:

@@ -1,0 +1,56 @@
+"""IndexStore — handle over a persisted index directory.
+
+Layout (all parquet + a JSON manifest; Iceberg-shaped: each table is an
+independent dataset and the manifest plays the catalog role the
+reference's .properties file plays, org/terrier/structures/
+CollectionStatistics.java:40-43):
+
+    out_dir/
+      docs/        docid, docno, doclen
+      meta/        docid, docno, repo, path, commit, lang, sha256
+      lexicon/     term, termid, nt, tf, max_tf, min_dl
+      postings/    term, bucket, block_id, n, first_docid, last_docid,
+                   max_tf, min_dl, block(binary)
+      manifest.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexStore:
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+
+    @property
+    def stats(self) -> dict:
+        return self.manifest["stats"]
+
+    @property
+    def bucket_span(self) -> int:
+        return self.manifest["bucket_span"]
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/docs")
+
+    def meta(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/meta")
+
+    def lexicon(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/lexicon")
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/postings")
+
+    def pipeline_config(self):
+        from terrier_spark.config import PipelineConfig
+
+        p = dict(self.manifest["pipeline"])
+        p["stopwords"] = tuple(p.get("stopwords") or ())
+        return PipelineConfig(**p)

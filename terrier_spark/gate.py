@@ -1,0 +1,449 @@
+"""Driver correctness-gate queries: paired (Spark callable, DuckDB oracle
+SQL) built from shared constants so both sides express the SAME semantics.
+
+The gate uses the SQL-expressible pipeline (SQL_SAFE_PIPELINE: tokenizer
+validity rules + stopword list, no Porter) because ANSI SQL cannot stem;
+the full default pipeline (with Porter) is covered by the pytest oracle
+(tests/test_search.py) instead.
+
+NOTE on the testdata corpus: the documents table has a tiny vocabulary,
+so nearly every term has collection frequency > N and Terrier's low-idf
+drop would empty all results; gate BM25 queries therefore run with
+ignore_low_idf=False (the drop itself is pytest-covered).
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import tempfile
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terrier_spark.config import (
+    DEFAULT_STOPWORDS,
+    IndexConfig,
+    QueryConfig,
+    SQL_SAFE_PIPELINE,
+)
+from terrier_spark.index.builder import build_index, terms_udf
+from terrier_spark.index.corpus import load_documents_corpus
+from terrier_spark.index.store import IndexStore
+from terrier_spark.query.search import search
+
+# --------------------------------------------------------------------------
+# shared constants
+# --------------------------------------------------------------------------
+
+STOPWORDS = DEFAULT_STOPWORDS
+MAX_TERM_LEN = 20
+# >4 digits anywhere -> invalid (EnglishTokeniser.java:166-176)
+DIGITS5_RE = "([^0-9]*[0-9]){5}"
+# >3 consecutive identical chars -> invalid; RE2 (DuckDB) has no
+# backreferences, so enumerate the 62 alternatives
+CONSEQ4_RE = "(" + "|".join(
+    c * 4 for c in string.ascii_lowercase + string.ascii_uppercase + string.digits
+) + ")"
+
+# fixed gate query set: terms that survive the SQL-safe pipeline unchanged
+GATE_QUERIES = [
+    ("q1", ["fast", "key", "order"]),
+    ("q2", ["sort", "table", "scan", "merge"]),
+    ("q3", ["part", "window", "small"]),
+    ("q4", ["spark", "group", "query", "row", "data"]),
+    ("q5", ["slow", "filter", "customer"]),
+    ("q6", ["join", "stream", "scan"]),
+    ("q7", ["data", "row"]),
+    ("q8", ["merge", "key", "filter", "group", "table", "scan"]),
+]
+GATE_K = 20
+SCORE_DECIMALS = 4
+
+BOOLEAN_TERMS = ["fast", "merge", "scan"]
+POSTING_TERMS = ["fast", "window", "customer", "spark"]
+PHRASE = ["group", "query"]
+PROXIMITY_WINDOW = 3
+
+# --------------------------------------------------------------------------
+# SQL fragments (DuckDB)
+# --------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# (doc_id, term) exploded token stream after the SQL-safe pipeline;
+# validity runs on the RAW token (pre-lowercase), as the reference does
+TOKS_CTE = f"""
+raw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                x -> len(x) <= {MAX_TERM_LEN}
+                     AND NOT regexp_matches(x, '{DIGITS5_RE}')
+                     AND NOT regexp_matches(x, '{CONSEQ4_RE}'))) AS tok
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM raw
+  WHERE lower(tok) NOT IN ({_STOP_LIST})
+)"""
+
+# same stream with positions (index within the KEPT stream, 0-based) —
+# the reference's "blocks" semantics (BlockIndexer.java:84-99): positions
+# count surviving pipeline terms
+POS_CTE = f"""
+filtered AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                 x -> len(x) <= {MAX_TERM_LEN}
+                      AND NOT regexp_matches(x, '{DIGITS5_RE}')
+                      AND NOT regexp_matches(x, '{CONSEQ4_RE}')),
+             x -> lower(x)),
+             x -> x NOT IN ({_STOP_LIST})) AS terms
+  FROM documents
+),
+postoks AS (
+  SELECT doc_id,
+         unnest(terms) AS term,
+         unnest(range(len(terms))) AS pos
+  FROM filtered
+)"""
+
+
+def _query_values() -> str:
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for t in terms:
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _bm25_sql(k: int = GATE_K) -> str:
+    """Full BM25 top-k in one DuckDB query, mirroring the engine formula
+    term-for-term (BM25.java:70-74; qtf=1 in the gate set)."""
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+),
+ntt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM toks GROUP BY term
+),
+q(qid, term) AS (VALUES {_query_values()}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(
+           tf.tf * (8.0 + 1.0) * 1.0
+           / ((8.0 + 1.0)
+              * (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / consts.avgdl) + tf.tf))
+           * log2((consts.n - ntt.nt + 0.5) / (ntt.nt + 0.5))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = q.term
+  CROSS JOIN consts
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored
+QUALIFY rank < {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# engine side
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, IndexStore] = {}
+
+
+def gate_index(spark: SparkSession, sf_dir: str) -> IndexStore:
+    """Build (once per sf_dir per process) the SQL-safe-pipeline index over
+    the documents table."""
+    key = os.path.abspath(sf_dir)
+    store = _INDEX_CACHE.get(key)
+    if store is not None:
+        return store
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "terrier_spark_gate",
+        key.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(out, "manifest.json")
+    if not os.path.exists(marker):
+        corpus = load_documents_corpus(spark, sf_dir)
+        cfg = IndexConfig(pipeline=SQL_SAFE_PIPELINE)
+        build_index(spark, corpus, out, cfg, bucket_span=1024)
+    store = IndexStore(out)
+    _INDEX_CACHE[key] = store
+    return store
+
+
+def _docno_as_doc_id(df: DataFrame, store, spark) -> DataFrame:
+    docs = store.docs(spark).select(
+        "docid", F.col("docno").cast("long").alias("doc_id")
+    )
+    return df.join(F.broadcast(docs), "docid")
+
+
+def q_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = gate_index(spark, sf_dir)
+    return store.lexicon(spark).select("term", "nt", "tf")
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = gate_index(spark, sf_dir)
+    return store.docs(spark).select(
+        F.col("docno").cast("long").alias("doc_id"), F.col("doclen")
+    )
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = gate_index(spark, sf_dir)
+    s = store.stats
+    return spark.createDataFrame(
+        [
+            (
+                s["num_docs"],
+                s["num_terms"],
+                s["num_tokens"],
+                s["num_pointers"],
+                round(s["avg_doclen"], 6),
+            )
+        ],
+        "num_docs long, num_terms long, num_tokens long, num_pointers long, "
+        "avg_doclen double",
+    )
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for POSTING_TERMS, decoded from the VByte store —
+    exercises the compressed path end-to-end."""
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    store = gate_index(spark, sf_dir)
+    blocks = store.postings(spark).filter(F.col("term").isin(POSTING_TERMS))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, tfs, _ = decode_scoring_block(row.block)
+                outs.append(
+                    pd.DataFrame(
+                        {"term": row.term, "docid": ids, "tf": tfs}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    decoded = blocks.select("term", "block").mapInPandas(
+        decode, schema="term string, docid long, tf long"
+    )
+    return _docno_as_doc_id(decoded, store, spark).select("term", "doc_id", "tf")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = gate_index(spark, sf_dir)
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True)
+    res = search(spark, store, queries, qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn(
+        "score_r", F.round(F.col("score"), SCORE_DECIMALS)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docid intersection of posting lists (ANDIterablePosting.java:40-152
+    as a group-having plan)."""
+    store = gate_index(spark, sf_dir)
+    blocks = store.postings(spark).filter(F.col("term").isin(BOOLEAN_TERMS))
+    hits = _decode_docids(blocks)
+    matched = (
+        hits.groupBy("docid")
+        .agg(F.count_distinct("term").alias("nterms"))
+        .filter(F.col("nterms") == len(BOOLEAN_TERMS))
+        .select("docid")
+    )
+    return _docno_as_doc_id(matched, store, spark).select("doc_id")
+
+
+def q_boolean_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docid union with match count (ORIterablePosting.java:42-167)."""
+    store = gate_index(spark, sf_dir)
+    blocks = store.postings(spark).filter(F.col("term").isin(BOOLEAN_TERMS))
+    hits = _decode_docids(blocks)
+    matched = hits.groupBy("docid").agg(
+        F.count_distinct("term").cast("long").alias("n_matched")
+    )
+    return _docno_as_doc_id(matched, store, spark).select("doc_id", "n_matched")
+
+
+def _decode_docids(blocks: DataFrame) -> DataFrame:
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, _, _ = decode_scoring_block(row.block)
+                outs.append(pd.DataFrame({"term": row.term, "docid": ids}))
+            if outs:
+                yield pd.concat(outs)
+
+    return blocks.select("term", "block").mapInPandas(
+        decode, schema="term string, docid long"
+    )
+
+
+def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) with positions in the kept-term stream — the
+    posexplode route (BlockIndexer semantics)."""
+    corpus = load_documents_corpus(spark, sf_dir)
+    udf = terms_udf(SQL_SAFE_PIPELINE)
+    return (
+        corpus.select(
+            F.col("docno").cast("long").alias("doc_id"),
+            F.posexplode(udf(F.col("content"))).alias("pos", "term"),
+        )
+    )
+
+
+def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase: consecutive positions (PhraseIterablePosting.java:44)."""
+    pos = _positions(spark, sf_dir)
+    a = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity within a window
+    (ProximityIterablePosting.java:45)."""
+    pos = _positions(spark, sf_dir)
+    a = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pb") - F.col("pa")) <= PROXIMITY_WINDOW)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_TERMS_IN = ", ".join(f"'{t}'" for t in BOOLEAN_TERMS)
+_PTERMS_IN = ", ".join(f"'{t}'" for t in POSTING_TERMS)
+
+IR_QUERIES = {
+    "lexicon": q_lexicon,
+    "doc_lengths": q_doc_lengths,
+    "collection_stats": q_collection_stats,
+    "postings": q_postings,
+    "bm25_topk": q_bm25_topk,
+    "boolean_and": q_boolean_and,
+    "boolean_or": q_boolean_or,
+    "phrase": q_phrase,
+    "proximity": q_proximity,
+}
+
+IR_ORACLE_SQL = {
+    "lexicon": f"""
+WITH {TOKS_CTE}
+SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS nt, COUNT(*)::BIGINT AS tf
+FROM toks GROUP BY term
+""",
+    "doc_lengths": f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, COUNT(*)::BIGINT AS doclen FROM toks GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(dl.doclen, 0)::BIGINT AS doclen
+FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+""",
+    "collection_stats": f"""
+WITH {TOKS_CTE}
+SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS num_docs,
+       (SELECT COUNT(DISTINCT term) FROM toks)::BIGINT AS num_terms,
+       (SELECT COUNT(*) FROM toks)::BIGINT AS num_tokens,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, term FROM toks))::BIGINT
+         AS num_pointers,
+       CAST(round((SELECT COUNT(*) FROM toks)::DOUBLE
+             / (SELECT COUNT(*) FROM documents)::DOUBLE, 6) AS DOUBLE)
+         AS avg_doclen
+""",
+    "postings": f"""
+WITH {TOKS_CTE}
+SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+FROM toks WHERE term IN ({_PTERMS_IN})
+GROUP BY term, doc_id
+""",
+    "bm25_topk": _bm25_sql(),
+    "boolean_and": f"""
+WITH {TOKS_CTE}
+SELECT doc_id FROM toks WHERE term IN ({_TERMS_IN})
+GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(BOOLEAN_TERMS)}
+""",
+    "boolean_or": f"""
+WITH {TOKS_CTE}
+SELECT doc_id, COUNT(DISTINCT term)::BIGINT AS n_matched
+FROM toks WHERE term IN ({_TERMS_IN})
+GROUP BY doc_id
+""",
+    "phrase": f"""
+WITH {POS_CTE}
+SELECT DISTINCT a.doc_id
+FROM postoks a JOIN postoks b ON a.doc_id = b.doc_id
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  AND b.pos = a.pos + 1
+""",
+    "proximity": f"""
+WITH {POS_CTE}
+SELECT DISTINCT a.doc_id
+FROM postoks a JOIN postoks b ON a.doc_id = b.doc_id
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  AND abs(b.pos - a.pos) <= {PROXIMITY_WINDOW}
+""",
+}

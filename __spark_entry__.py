@@ -27,12 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from terrier_spark import gate
+    from terrier_spark import gate, gate_datapipe
 
-    return dict(gate.IR_QUERIES)
+    return dict(gate.IR_QUERIES) | dict(gate_datapipe.DATAPIPE_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from terrier_spark import gate
+    from terrier_spark import gate, gate_datapipe
 
-    return dict(gate.IR_ORACLE_SQL)
+    return dict(gate.IR_ORACLE_SQL) | dict(gate_datapipe.DATAPIPE_ORACLE_SQL)

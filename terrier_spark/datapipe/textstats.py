@@ -1,0 +1,118 @@
+"""Text-analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.  All pure Column expressions
+(JVM-side, whole-stage codegen) — no UDFs — so they run at scan speed
+over 100 TB and are mirrored exactly by the DuckDB gate oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "for", "with", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+}
+
+# BPE-ish subword pieces: letter runs, digit runs, or single non-space
+# symbols — a public approximation of byte-pair pretokenization
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+WS_RE = "\\S+"
+PUNCT_RE = "[^A-Za-z0-9\\s]"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """-> (id, n_ws_tokens, n_subword_tokens, n_chars)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(WS_RE), 0)).cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0)).cast("long")
+        .alias("n_subword_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_tokens: int = 10,
+                   max_punct_ratio: float = 0.3) -> DataFrame:
+    """Heuristic document-quality features + keep flag
+    -> (id, n_chars, n_tokens, punct_ratio, stopword_ratio, keep)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WS_RE), 0)
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)).cast("long")
+    en_stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stops, x)))
+    punct_ratio = F.round(
+        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6
+    )
+    stop_ratio = F.round(
+        n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    )
+    keep = (n_tokens >= min_tokens) & (punct_ratio <= max_punct_ratio)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID -> (id, lang_guess, hits).  Argmax of
+    per-language stopword hits over whitespace tokens; ties broken by
+    language code ascending; zero hits -> 'und'."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WS_RE), 0)
+    cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        cols.append(
+            F.struct(
+                (-F.size(F.filter(toks, lambda x: F.array_contains(arr, x))))
+                .cast("long").alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax with deterministic tie-break: ascending sort on
+    # (neg_hits, lang) = (hits desc, lang asc)
+    best = F.sort_array(F.array(*cols))[0]
+    out = df.select(
+        F.col(id_col).alias("id"),
+        best["lang"].alias("lang_guess_raw"),
+        (-best["neg_hits"]).alias("hits"),
+    )
+    return out.select(
+        "id",
+        F.when(F.col("hits") > 0, F.col("lang_guess_raw"))
+        .otherwise(F.lit("und")).alias("lang_guess"),
+        "hits",
+    )
+
+
+def char_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", gram: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum 60-bit md5-int over all
+    character `gram`-grams (winnowing's min-selection at window = whole
+    doc) -> (id, fingerprint).  Docs shorter than `gram` hash the whole
+    text."""
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(t, i, gram)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(grams).alias("fingerprint"),
+    )

@@ -1,0 +1,354 @@
+"""Datapipe gate queries: paired (Spark callable, DuckDB oracle SQL) for
+the training-data pipeline operators (dedup / similarity search / text
+analysis) over the driver testdata `documents` and `embeddings` tables.
+
+Cross-engine determinism rests on one shared hash primitive:
+60-bit md5-int == Spark `conv(substr(md5(x),1,15),16,10)::long`
+            == DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`
+(verified identical), plus affine rehashing mod 2^31-1 which never
+overflows signed 64-bit in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terrier_spark.datapipe.dedup import (
+    MERSENNE31,
+    _hash_params,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from terrier_spark.datapipe.simsearch import cosine_topk, lsh_cosine_topk
+from terrier_spark.datapipe.textstats import (
+    LANG_STOPWORDS,
+    char_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+JACCARD_THRESHOLD = 0.5
+NUM_HASHES_GATE = 16
+COSINE_QUERY_IDS = [0, 1, 2, 3, 4]
+COSINE_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- Spark
+
+def q_exact_dedup(spark, sf_dir):
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    return df.withColumn("canonical_id", F.min("doc_id").over(w))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_minhash_sigs(spark, sf_dir):
+    sig = minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=NUM_HASHES_GATE
+    )
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("sig").alias("hash_idx", "minhash"),
+    ).select("doc_id", F.col("hash_idx").cast("long"), "minhash")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    # rows-only gate (LSH recall < 1 by design, so no exact-SQL twin)
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    out = cosine_topk(_embs(spark, sf_dir), COSINE_QUERY_IDS, k=COSINE_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 5).desc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("cosine_r", F.round("cosine", 5))
+        .withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .select("query_id", "vec_id", "cosine_r", "rank")
+    )
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    emb = _embs(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    out = lsh_cosine_topk(emb, COSINE_QUERY_IDS, dim=dim, k=COSINE_K,
+                          n_planes=12, bands=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine_r")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def q_quality(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    return char_fingerprints(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    # synthetic media table (no media columns in the testdata); rows-only
+    from terrier_spark.datapipe.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, n=30)
+    feats = decode_features(media)
+    return feats.select(
+        "media_id", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+    )
+
+
+# ----------------------------------------------------------------------- SQL
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(toks)-3, 0)+1),
+                i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+           AS shingle
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+),
+shf AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard_r
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_sql() -> str:
+    params = _hash_params(NUM_HASHES_GATE)
+    seeds = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM shf
+),
+seeds(hash_idx, a, b) AS (VALUES {seeds})
+SELECT doc_id, hash_idx::BIGINT AS hash_idx,
+       min((a * h + b) % {MERSENNE31})::BIGINT AS minhash
+FROM h CROSS JOIN seeds
+GROUP BY doc_id, hash_idx
+"""
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> len(x) > 0)) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+h AS (SELECT doc_id, tf,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits
+"""
+
+
+_COSINE_IDS = ", ".join(str(i) for i in COSINE_QUERY_IDS)
+
+_COSINE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id IN ({_COSINE_IDS})
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id, e.embedding AS ev, q.qv
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+comps AS (
+  SELECT query_id, vec_id,
+         unnest(ev)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM pairs
+),
+scored AS (
+  SELECT query_id, vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+  FROM comps GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id,
+       CAST(round(cosine, 5) AS DOUBLE) AS cosine_r,
+       (row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(cosine, 5) DESC, vec_id) - 1)::BIGINT AS rank
+FROM scored
+QUALIFY rank < {COSINE_K}
+"""
+
+_WS = "\\S+"
+_BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_PUNCT = "[^A-Za-z0-9\\s]"
+_EN_STOPS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_WS}'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_subword_tokens,
+       len(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(text)::BIGINT AS n_chars,
+         regexp_extract_all(lower(text), '{_WS}') AS toks,
+         len(regexp_extract_all(text, '{_PUNCT}'))::BIGINT AS n_punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars,
+         len(toks)::BIGINT AS n_tokens,
+         CAST(round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS DOUBLE)
+           AS punct_ratio,
+         CAST(round(
+           len(list_filter(toks, x -> x IN ({_EN_STOPS})))::DOUBLE
+           / greatest(len(toks), 1), 6) AS DOUBLE) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+       (n_tokens >= 10 AND punct_ratio <= 0.3) AS keep
+FROM feat
+"""
+
+
+def _lang_sql() -> str:
+    counts = []
+    for lang in sorted(LANG_STOPWORDS):
+        stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        counts.append(
+            f"len(list_filter(toks, x -> x IN ({stops})))::BIGINT AS h_{lang}"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_WS}') AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, {', '.join(counts)} FROM toks)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es THEN 'de'
+            WHEN h_en >= h_es THEN 'en'
+            ELSE 'es' END AS lang_guess,
+       greatest(h_de, h_en, h_es)::BIGINT AS hits
+FROM c
+"""
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(len(text) - 7, 1) + 1),
+         i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT))
+         AS fingerprint
+FROM documents
+"""
+
+_EXACT_DEDUP_SQL = """
+SELECT doc_id, md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents
+"""
+
+DATAPIPE_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_sigs": q_minhash_sigs,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality,
+    "language_id": q_lang_id,
+    "char_fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+DATAPIPE_ORACLE_SQL = {
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "ngram_jaccard": _JACCARD_SQL,
+    "minhash_sigs": _minhash_sql(),
+    "simhash": _simhash_sql(),
+    "cosine_topk": _COSINE_SQL,
+    "token_counts": _TOKEN_COUNTS_SQL,
+    "quality_scores": _QUALITY_SQL,
+    "language_id": _lang_sql(),
+    "char_fingerprint": _FINGERPRINT_SQL,
+    # minhash_lsh_pairs, lsh_cosine_topk, multimodal_features: rows-only
+    # (approximate/recall-dependent or synthetic input)
+}

@@ -1,0 +1,220 @@
+"""Datapipe operator tests: dedup family vs pure-Python references,
+LSH recall vs brute force, textstats goldens, multimodal plumbing."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from terrier_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from terrier_spark.datapipe.simsearch import cosine_topk, lsh_cosine_topk
+from terrier_spark.datapipe.textstats import (
+    char_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+def py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))} - {""}
+
+
+def py_jaccard(a, b, n=3):
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    variant = "the quick brown fox jumps over the lazy dog near the river shore"
+    other = "completely different content about spark dataframes and shuffles"
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0
+        (2, variant),         # near dup of 0
+        (3, other),
+        (4, other + " with an extra tail of words"),
+        (5, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs_df):
+    out = exact_duplicates(docs_df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 2 and row["canonical_id"] == 0
+
+
+def test_ngram_jaccard_matches_python(spark, docs_df):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    expected = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                j = py_jaccard(texts[a], texts[b])
+                if j >= 0.3:
+                    expected[(a, b)] = j
+    assert set(out) == set(expected)
+    for k in out:
+        assert out[k] == pytest.approx(expected[k])
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs_df):
+    s1 = minhash_signatures(docs_df).orderBy("id").collect()
+    s2 = minhash_signatures(docs_df).orderBy("id").collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+    assert all(len(r["sig"]) == 64 for r in s1)
+    # exact dups have identical signatures
+    sigs = {r["id"]: r["sig"] for r in s1}
+    assert sigs[0] == sigs[1]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs  # near dup
+    # verified jaccard is EXACT (candidates re-checked)
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    for (a, b), j in pairs.items():
+        assert j == pytest.approx(py_jaccard(texts[a], texts[b]))
+
+
+def test_simhash(spark, docs_df):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()}
+    assert fps[0] == fps[1]  # identical docs -> identical fingerprint
+    ham_02 = bin(fps[0] ^ fps[2]).count("1")
+    ham_03 = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_02 < ham_03  # near dup closer than unrelated
+    near = simhash_near_pairs(docs_df, max_hamming=ham_02).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in near)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    pdf = emb_df.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    qids = sorted(vecs)[:3]
+    got = cosine_topk(emb_df, qids, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for q in qids:
+        qv = vecs[q]
+        sims = [
+            (v, float(np.dot(qv, vv) / (np.linalg.norm(qv) * np.linalg.norm(vv))))
+            for v, vv in vecs.items() if v != q
+        ]
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        exp = sims[:5]
+        assert [v for v, _ in by_q[q]] == [v for v, _ in exp]
+        for (gv, gc), (ev, ec) in zip(by_q[q], exp):
+            assert gc == pytest.approx(ec, abs=1e-9)
+
+
+def test_lsh_recall_reasonable(spark, emb_df):
+    qids = [0, 1, 2, 3, 4]
+    dim = len(emb_df.first()["embedding"])
+    exact = cosine_topk(emb_df, qids, k=10).collect()
+    approx = lsh_cosine_topk(emb_df, qids, dim=dim, k=10, n_planes=12,
+                             bands=6).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world, it's 42 degrees!")], "doc_id long, text string"
+    )
+    row = token_counts(df).collect()[0]
+    assert row["n_ws_tokens"] == 5
+    # hello | world | , | it | ' | s | 42 | degrees | !
+    assert row["n_subword_tokens"] == 9
+    assert row["n_chars"] == 29
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat with a hat and a bat today ok"),
+         (1, "!!! ??? ***")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in quality_scores(df).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False
+    assert rows[0]["stopword_ratio"] > 0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the park in the morning"),
+            (1, "el perro y el gato en la casa de la abuela por la tarde"),
+            (2, "der hund und die katze sind mit den kindern zu hause"),
+            (3, "xyzzy plugh abracadabra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["lang_guess"] for r in language_id(df).collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_char_fingerprints_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "abcdefghij"), (2, "zzzzyyyyxxxx"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: r["fingerprint"] for r in char_fingerprints(df).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+    assert fps[3] is not None  # short doc falls back to whole text
+
+
+def test_multimodal_plumbing(spark):
+    from terrier_spark.datapipe.multimodal import (
+        decode_features, sample_frames, synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    feats = decode_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic across runs
+    feats2 = decode_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in feats2
+    }
+    frames = sample_frames(media.filter("kind = 'video'"), every_ms=1000)
+    fr = frames.collect()
+    assert len(fr) > 0 and all(len(r["frame"]) == 32 for r in fr)
+
+    with pytest.raises(Exception):
+        decode_features(media, decoder="real").collect()

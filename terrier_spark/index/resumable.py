@@ -1,0 +1,370 @@
+"""Resumable, checkpointed index build with per-partition lineage.
+
+The Spark analog of the reference's MapReduce indexing protocol
+(org/terrier/structures/indexing/singlepass/hadoop/
+Hadoop_BasicSinglePassIndexer.java):
+
+  plan pass    per-partition doc counts -> cumulative docid offsets,
+               persisted to checkpoints/plan.json (the "side files",
+               :430-448,560-592) — docids are fully determined BEFORE any
+               segment builds, so segments can build/resume in any order;
+  build pass   one mapInPandas job; each task builds its partition's
+               segment (docs/meta/postings parquet written via pyarrow,
+               committed by atomic rename + _SUCCESS marker) and yields a
+               checkpoint row (partition_id, n_docs, docid_offset,
+               sha256_agg, status).  A task whose segment is already
+               committed yields status='cached' WITHOUT reprocessing —
+               that is the resume path;
+  finalize     global lexicon/stats aggregation over all segments (the
+               RunsMerger/LexiconBuilder merge, :188-268) + manifest.
+
+Per-partition posting blocks are smaller than a monolithic build's (each
+segment chunks its own (term, bucket) groups); `compact_postings`
+re-groups and re-encodes them — the analog of the reference's geometric
+merge policy (realtime/incremental/IncrementalMergeGeometric.java) and
+InvertedIndexRecompresser (applications/InvertedIndexRecompresser.java:101-237).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+from collections import Counter
+from dataclasses import asdict
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrier_spark.compression.vbyte import encode_scoring_block
+from terrier_spark.config import IndexConfig
+from terrier_spark.index.builder import DEFAULT_BUCKET_SPAN
+from terrier_spark.index.store import IndexStore
+from terrier_spark.text.pipeline import make_pipeline
+
+CHECKPOINT_SCHEMA = (
+    "partition_id int, n_docs long, docid_offset long, sha256_agg string, "
+    "status string"
+)
+
+
+def _plan(spark: SparkSession, corpus: DataFrame, out_dir: str) -> dict[int, tuple[int, int]]:
+    """{pid: (n_docs, docid_offset)}; cached in checkpoints/plan.json."""
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    plan_path = os.path.join(ckpt_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            return {int(k): tuple(v) for k, v in json.load(fh).items()}
+    counts = (
+        corpus.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .orderBy("__pid")
+        .collect()
+    )
+    plan, acc = {}, 0
+    for row in counts:
+        plan[int(row["__pid"])] = (int(row["count"]), acc)
+        acc += int(row["count"])
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({str(k): list(v) for k, v in plan.items()}, fh)
+    os.replace(tmp, plan_path)
+    return plan
+
+
+def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
+                   blocks: pd.DataFrame) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(tmp, "docs.parquet"))
+    pq.write_table(pa.Table.from_pandas(meta, preserve_index=False),
+                   os.path.join(tmp, "meta.parquet"))
+    schema = pa.schema([
+        ("term", pa.string()), ("bucket", pa.int64()),
+        ("block_id", pa.int32()), ("n", pa.int32()),
+        ("first_docid", pa.int64()), ("last_docid", pa.int64()),
+        ("max_tf", pa.int32()), ("min_dl", pa.int32()),
+        ("block", pa.binary()),
+    ])
+    pq.write_table(
+        pa.Table.from_pandas(blocks, schema=schema, preserve_index=False),
+        os.path.join(tmp, "postings.parquet"),
+    )
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    if os.path.exists(seg_dir):
+        shutil.rmtree(seg_dir)
+    os.replace(tmp, seg_dir)
+
+
+def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
+                     bucket_span: int) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, str]:
+    """Tokenize + index one partition's rows (local; arrays vectorized)."""
+    pipe = make_pipeline(cfg.pipeline)
+    doc_rows, meta_rows = [], []
+    postings: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+    docid = offset
+    sha_acc = hashlib.sha256()
+    for pdf in pdfs:
+        for row in pdf.itertuples():
+            content = row.content or ""
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            sha_acc.update(sha.encode())
+            terms = pipe.terms(content)
+            dl = len(terms)
+            doc_rows.append((docid, row.docno, dl))
+            meta_rows.append(
+                (docid, row.docno, row.repo, row.path, row.commit,
+                 row.lang, sha)
+            )
+            bucket = docid // bucket_span
+            for term, tf in Counter(terms).items():
+                postings.setdefault((term, bucket), []).append(
+                    (docid, tf, dl)
+                )
+            docid += 1
+    docs = pd.DataFrame(doc_rows, columns=["docid", "docno", "doclen"])
+    meta = pd.DataFrame(
+        meta_rows,
+        columns=["docid", "docno", "repo", "path", "commit", "lang", "sha256"],
+    )
+    block_rows = []
+    for (term, bucket), plist in sorted(postings.items()):
+        ids = np.array([p[0] for p in plist], dtype=np.int64)
+        tfs = np.array([p[1] for p in plist], dtype=np.int64)
+        dls = np.array([p[2] for p in plist], dtype=np.int64)
+        for b0 in range(0, ids.size, cfg.block_size):
+            b1 = min(b0 + cfg.block_size, ids.size)
+            block_rows.append(
+                (
+                    term, bucket, b0 // cfg.block_size, b1 - b0,
+                    int(ids[b0]), int(ids[b1 - 1]),
+                    int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
+                    encode_scoring_block(ids[b0:b1], tfs[b0:b1], dls[b0:b1]),
+                )
+            )
+    blocks = pd.DataFrame(
+        block_rows,
+        columns=["term", "bucket", "block_id", "n", "first_docid",
+                 "last_docid", "max_tf", "min_dl", "block"],
+    )
+    return docs, meta, blocks, sha_acc.hexdigest()
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    cfg: Optional[IndexConfig] = None,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    fail_partitions: Optional[set[int]] = None,
+    skip_partitions: Optional[set[int]] = None,
+) -> IndexStore:
+    """Segmented, resumable build.
+
+    Test hooks: `fail_partitions` raises inside those partitions before
+    their segment commit (exercises the crash path); `skip_partitions`
+    deterministically leaves those segments unbuilt (a reproducible
+    "killed after partial completion" state for resume tests)."""
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    plan = _plan(spark, corpus, out_dir)
+    seg_root = os.path.join(out_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    fail = fail_partitions or set()
+    skip = skip_partitions or set()
+    block_cfg = cfg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n, offset = plan.get(pid, (0, 0))
+        seg_dir = os.path.join(seg_root, f"seg_{pid:05d}")
+        if os.path.exists(os.path.join(seg_dir, "_SUCCESS")):
+            yield pd.DataFrame(
+                [(pid, n, offset, "", "cached")],
+                columns=["partition_id", "n_docs", "docid_offset",
+                         "sha256_agg", "status"],
+            )
+            return
+        if pid in skip:
+            yield pd.DataFrame(
+                [(pid, n, offset, "", "skipped")],
+                columns=["partition_id", "n_docs", "docid_offset",
+                         "sha256_agg", "status"],
+            )
+            return
+        if pid in fail:
+            raise RuntimeError(f"injected failure in partition {pid}")
+        pdfs = list(batches)
+        docs, meta, blocks, sha_agg = _build_partition(
+            pdfs, offset, block_cfg, bucket_span
+        )
+        if len(docs) != n:
+            raise RuntimeError(
+                f"partition {pid}: saw {len(docs)} docs, plan says {n} — "
+                "input changed since plan; delete checkpoints to rebuild"
+            )
+        _write_segment(seg_dir, docs, meta, blocks)
+        yield pd.DataFrame(
+            [(pid, n, offset, sha_agg, "built")],
+            columns=["partition_id", "n_docs", "docid_offset",
+                     "sha256_agg", "status"],
+        )
+
+    ckpt = corpus.mapInPandas(run, schema=CHECKPOINT_SCHEMA).toPandas()
+    ckpt = ckpt.sort_values("partition_id")
+    ckpt_path = os.path.join(out_dir, "checkpoints", "partitions.json")
+    prior = {}
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as fh:
+            prior = {int(r["partition_id"]): r for r in json.load(fh)}
+    rows = []
+    for r in ckpt.to_dict("records"):
+        if r["status"] == "cached" and int(r["partition_id"]) in prior:
+            # keep the original lineage (sha256_agg) but record that this
+            # run served the partition from its committed segment
+            kept = dict(prior[int(r["partition_id"])])
+            kept["status"] = "cached"
+            rows.append(kept)
+        else:
+            rows.append(r)
+    with open(ckpt_path + ".tmp", "w") as fh:
+        json.dump(rows, fh, indent=1, default=str)
+    os.replace(ckpt_path + ".tmp", ckpt_path)
+
+    _finalize(spark, out_dir, cfg, bucket_span, t0, rows)
+    return IndexStore(out_dir)
+
+
+def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
+              bucket_span: int, t0: float, ckpt_rows: list) -> None:
+    seg_glob = os.path.join(out_dir, "segments", "seg_*")
+    postings = spark.read.parquet(f"{seg_glob}/postings.parquet")
+    # lexicon: merge per-segment partials (the RunsMerger pass) — nt from
+    # block n-sums, collection tf by decoding is unnecessary: store tf
+    # sums per block? we aggregate from decoded tf via a cheap decode
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    def tf_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                _, tfs, _ = decode_scoring_block(row.block)
+                rows.append((row.term, int(row.n), int(tfs.sum()),
+                             int(row.max_tf), int(row.min_dl)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["term", "n", "tf", "max_tf", "min_dl"]
+                )
+
+    partials = postings.select("term", "n", "max_tf", "min_dl", "block").mapInPandas(
+        tf_of, schema="term string, n long, tf long, max_tf int, min_dl int"
+    )
+    lex = partials.groupBy("term").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("tf").cast("long").alias("tf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
+    )
+    from terrier_spark.index.docids import assign_docids
+
+    lex = assign_docids(lex, order_by=["term"], id_col="__rank")
+    lex = lex.withColumn("termid", F.col("__rank").cast("long")).drop("__rank")
+    lex.repartitionByRange(4, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/lexicon")
+
+    docs = spark.read.parquet(f"{seg_glob}/docs.parquet")
+    drow = docs.agg(
+        F.count("*").alias("nd"), F.sum("doclen").alias("ntok")
+    ).collect()[0]
+    lrow = spark.read.parquet(f"{out_dir}/lexicon").agg(
+        F.count("*").alias("nt"), F.sum("nt").alias("np")
+    ).collect()[0]
+    num_docs, num_tokens = int(drow["nd"] or 0), int(drow["ntok"] or 0)
+    stats = {
+        "num_docs": num_docs,
+        "num_terms": int(lrow["nt"] or 0),
+        "num_tokens": num_tokens,
+        "num_pointers": int(lrow["np"] or 0),
+        "avg_doclen": (num_tokens / num_docs) if num_docs else 0.0,
+    }
+    elapsed = time.time() - t0
+    built = sum(1 for r in ckpt_rows if r["status"] == "built")
+    manifest = {
+        "version": 1,
+        "layout": "segmented",
+        "bucket_span": bucket_span,
+        "block_size": cfg.block_size,
+        "pipeline": asdict(cfg.pipeline) | {
+            "stopwords": sorted(cfg.pipeline.stopwords or ())
+        },
+        "stats": stats,
+        "metrics": {
+            "build_seconds": round(elapsed, 3),
+            "docs_per_sec": round(num_docs / elapsed, 2) if elapsed else None,
+            "num_docs": num_docs,
+            "partitions_built": built,
+            "partitions_cached": len(ckpt_rows) - built,
+        },
+    }
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+
+def compact_postings(spark: SparkSession, store: IndexStore,
+                     cfg: Optional[IndexConfig] = None) -> IndexStore:
+    """Re-group and re-encode posting blocks across segments into the
+    monolithic layout (geometric-merge / recompress analog).  Produces
+    optimal 1024-posting blocks and replaces the segmented postings."""
+    from terrier_spark.compression.vbyte import decode_scoring_block
+    from terrier_spark.index.builder import BLOCK_SCHEMA, _encode_group
+
+    cfg = cfg or IndexConfig()
+    out_dir = store.path
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, tfs, dls = decode_scoring_block(row.block)
+                outs.append(pd.DataFrame({
+                    "term": row.term, "bucket": row.bucket,
+                    "docid": ids, "tf": tfs, "doclen": dls,
+                }))
+            if outs:
+                yield pd.concat(outs)
+
+    rows = store.postings(spark).mapInPandas(
+        explode,
+        schema="term string, bucket long, docid long, tf int, doclen long",
+    )
+    blocks = rows.groupBy("term", "bucket").applyInPandas(
+        _encode_group(cfg.block_size), schema=BLOCK_SCHEMA
+    )
+    tmp = f"{out_dir}/postings_compact"
+    (
+        blocks.repartitionByRange(cfg.shuffle_partitions, "term", "bucket")
+        .sortWithinPartitions("term", "bucket", "block_id")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    manifest = dict(store.manifest)
+    manifest["layout"] = "segmented_compacted"
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return IndexStore(out_dir)

@@ -36,16 +36,33 @@ class IndexStore:
     def bucket_span(self) -> int:
         return self.manifest["bucket_span"]
 
+    @property
+    def layout(self) -> str:
+        # "monolithic" (builder.build_index) or "segmented"/
+        # "segmented_compacted" (resumable.build_index_resumable): segment
+        # tables are read as one multi-path parquet dataset — no copy step
+        return self.manifest.get("layout", "monolithic")
+
     def docs(self, spark: SparkSession) -> DataFrame:
+        if self.layout.startswith("segmented"):
+            return spark.read.parquet(f"{self.path}/segments/seg_*/docs.parquet")
         return spark.read.parquet(f"{self.path}/docs")
 
     def meta(self, spark: SparkSession) -> DataFrame:
+        if self.layout.startswith("segmented"):
+            return spark.read.parquet(f"{self.path}/segments/seg_*/meta.parquet")
         return spark.read.parquet(f"{self.path}/meta")
 
     def lexicon(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(f"{self.path}/lexicon")
 
     def postings(self, spark: SparkSession) -> DataFrame:
+        if self.layout == "segmented_compacted":
+            return spark.read.parquet(f"{self.path}/postings_compact")
+        if self.layout == "segmented":
+            return spark.read.parquet(
+                f"{self.path}/segments/seg_*/postings.parquet"
+            )
         return spark.read.parquet(f"{self.path}/postings")
 
     def pipeline_config(self):

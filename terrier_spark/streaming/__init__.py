@@ -1,0 +1,3 @@
+from terrier_spark.streaming.incremental import IncrementalIndexer
+
+__all__ = ["IncrementalIndexer"]

@@ -1,0 +1,178 @@
+"""Incremental / streaming index maintenance.
+
+The reference's realtime package maps onto Structured Streaming
+micro-batches (SURVEY.md §2.8):
+
+  MemoryIndex.indexDocument (realtime/memory/MemoryIndex.java:75-289)
+      -> each micro-batch is indexed as new SEGMENTS appended to the
+         segmented store (same layout as the resumable builder);
+  IncrementalIndex flush policies (realtime/incremental/
+  IncrementalIndex.java:56-232: flushdocs/flushmem/flushtime)
+      -> the micro-batch boundary IS the flush; trigger intervals and
+         maxFilesPerTrigger give the time/size policies;
+  IncrementalMergeGeometric (merge policy)
+      -> compact_postings() once the segment count passes a threshold;
+  MultiIndex shard view (realtime/multi/MultiIndex.java:49-139)
+      -> the segmented IndexStore already reads all segments as one
+         dataset; docids are GLOBAL at ingest (continuing offsets), so no
+         per-shard offset math at query time.
+
+Exactly-once: foreachBatch can retry a batch; batches are registered in
+checkpoints/stream.json and segment commits are atomic (_SUCCESS), so a
+retried batch is served from its committed segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrier_spark.config import IndexConfig
+from terrier_spark.index.builder import DEFAULT_BUCKET_SPAN
+from terrier_spark.index.resumable import (
+    CHECKPOINT_SCHEMA,
+    _build_partition,
+    _finalize,
+    _write_segment,
+)
+from terrier_spark.index.store import IndexStore
+
+
+class IncrementalIndexer:
+    def __init__(self, out_dir: str, cfg: Optional[IndexConfig] = None,
+                 bucket_span: int = DEFAULT_BUCKET_SPAN,
+                 compact_every: int = 0, finalize_every: int = 1):
+        self.out_dir = out_dir
+        self.cfg = cfg or IndexConfig()
+        self.bucket_span = bucket_span
+        self.compact_every = compact_every
+        self.finalize_every = max(finalize_every, 1)
+        os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
+        self._state_path = os.path.join(out_dir, "checkpoints", "stream.json")
+
+    # ------------------------------------------------------------- state
+
+    def _state(self) -> dict:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as fh:
+                return json.load(fh)
+        return {"total_docs": 0, "batches": {}, "ckpt_rows": []}
+
+    def _save_state(self, state: dict) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1)
+        os.replace(tmp, self._state_path)
+
+    # ------------------------------------------------------------- batch
+
+    def index_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Index one micro-batch of canonical corpus rows (docno, repo,
+        path, commit, lang, content).  Idempotent per batch_id."""
+        state = self._state()
+        if str(batch_id) in state["batches"]:
+            return  # retried batch: already committed
+        base = state["total_docs"]
+        spark = batch_df.sparkSession
+
+        counts = (
+            batch_df.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid").count().orderBy("__pid").collect()
+        )
+        plan, acc = {}, base
+        for row in counts:
+            plan[int(row["__pid"])] = (int(row["count"]), acc)
+            acc += int(row["count"])
+        n_batch = acc - base
+        if n_batch == 0:
+            state["batches"][str(batch_id)] = {"n_docs": 0, "segments": []}
+            self._save_state(state)
+            return
+
+        seg_root = os.path.join(self.out_dir, "segments")
+        cfg, span = self.cfg, self.bucket_span
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            n, offset = plan.get(pid, (0, base))
+            seg_dir = os.path.join(
+                seg_root, f"seg_b{batch_id:06d}_{pid:05d}"
+            )
+            if os.path.exists(os.path.join(seg_dir, "_SUCCESS")):
+                yield pd.DataFrame(
+                    [(pid, n, offset, "", "cached")],
+                    columns=["partition_id", "n_docs", "docid_offset",
+                             "sha256_agg", "status"],
+                )
+                return
+            docs, meta, blocks, sha = _build_partition(
+                list(batches), offset, cfg, span
+            )
+            if len(docs) != n:
+                raise RuntimeError(
+                    f"batch {batch_id} partition {pid}: {len(docs)} != {n}"
+                )
+            if n > 0:
+                _write_segment(seg_dir, docs, meta, blocks)
+            yield pd.DataFrame(
+                [(pid, n, offset, sha, "built")],
+                columns=["partition_id", "n_docs", "docid_offset",
+                         "sha256_agg", "status"],
+            )
+
+        ckpt = batch_df.mapInPandas(run, schema=CHECKPOINT_SCHEMA).toPandas()
+        segs = [
+            f"seg_b{batch_id:06d}_{int(p):05d}"
+            for p, n in zip(ckpt["partition_id"], ckpt["n_docs"]) if n > 0
+        ]
+        state["total_docs"] = base + n_batch
+        state["batches"][str(batch_id)] = {
+            "n_docs": n_batch, "segments": segs,
+        }
+        state["ckpt_rows"].extend(
+            {**r, "batch_id": batch_id} for r in ckpt.to_dict("records")
+        )
+        self._save_state(state)
+
+        n_batches = len(state["batches"])
+        if n_batches % self.finalize_every == 0:
+            self.finalize()
+        if self.compact_every and n_batches % self.compact_every == 0:
+            from terrier_spark.index.resumable import compact_postings
+
+            compact_postings(spark, IndexStore(self.out_dir), self.cfg)
+
+    def finalize(self) -> IndexStore:
+        """Refresh the global lexicon/stats/manifest over all segments."""
+        from terrier_spark.session import get_spark
+
+        spark = SparkSession.getActiveSession() or get_spark()
+        state = self._state()
+        _finalize(spark, self.out_dir, self.cfg, self.bucket_span,
+                  time.time(), state.get("ckpt_rows", []))
+        return IndexStore(self.out_dir)
+
+    # ------------------------------------------------------------ stream
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: Optional[str] = None,
+               trigger_available_now: bool = True):
+        """Attach to a streaming DataFrame of canonical corpus rows via
+        foreachBatch.  Returns the StreamingQuery."""
+        writer = stream_df.writeStream.foreachBatch(
+            lambda df, bid: self.index_batch(df, bid)
+        ).option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(self.out_dir, "checkpoints", "spark"),
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -87,6 +87,9 @@ class IndexConfig:
 @dataclass(frozen=True)
 class QueryConfig:
     bm25: BM25Config = field(default_factory=BM25Config)
+    # weighting model name from terrier_spark.query.models.MODELS (the
+    # reference's trec.model property / WeightingModelFactory surface)
+    model: str = "BM25"
     # matching.retrieved_set_size default (org/terrier/matching/BaseMatching.java:283-284)
     k: int = 1000
     # Drop query terms whose collection frequency exceeds N

@@ -45,7 +45,7 @@ DEFAULT_BUCKET_SPAN = 1 << 16
 
 BLOCK_SCHEMA = (
     "term string, bucket long, block_id int, n int, first_docid long, "
-    "last_docid long, max_tf int, min_dl int, block binary"
+    "last_docid long, max_tf int, min_dl int, tf_sum long, block binary"
 )
 
 
@@ -86,6 +86,7 @@ def _encode_group(cfg_block_size: int):
                     int(blk_ids[-1]),
                     int(blk_tfs.max()),
                     int(blk_dls.min()),
+                    int(blk_tfs.sum()),
                     encode_scoring_block(blk_ids, blk_tfs, blk_dls),
                 )
             )
@@ -93,27 +94,91 @@ def _encode_group(cfg_block_size: int):
             rows,
             columns=[
                 "term", "bucket", "block_id", "n", "first_docid",
-                "last_docid", "max_tf", "min_dl", "block",
+                "last_docid", "max_tf", "min_dl", "tf_sum", "block",
             ],
         )
 
     return encode
 
 
+def partition_counts(df: DataFrame) -> dict[int, int]:
+    """Per-partition row counts via a pure-JVM scan (no Arrow crossing) —
+    the 'side files' of the Hadoop indexer, computed cheaply."""
+    rows = (
+        df.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid").count().collect()
+    )
+    return {int(r["__pid"]): int(r["count"]) for r in rows}
+
+
 def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
     """corpus (docno, repo, path, commit, lang, content) ->
-    (docid, docno, repo, path, commit, lang, sha256, doclen, terms)."""
-    with_ids = assign_docids(corpus, order_by=cfg.sort_docids_by)
-    udf = terms_udf(cfg.pipeline)
-    return (
-        with_ids
-        # per-row invariant: content sha256 survives from ingest through
-        # docid assignment into the meta table (computed JVM-side)
-        .withColumn("sha256", F.sha2(F.col("content"), 256))
-        .withColumn("terms", udf(F.col("content")))
-        .withColumn("doclen", F.size("terms").cast("long"))
-        .drop("content")
+    (docid, docno, repo, path, commit, lang, sha256, doclen, terms).
+
+    Single fused Arrow pass: docid assignment (per-partition offsets from
+    a JVM-only count scan), content sha256, tokenization and doc length
+    all happen in ONE mapInPandas crossing — content crosses the
+    JVM/Python boundary exactly once and never again."""
+    if cfg.sort_docids_by:
+        # persist to PIN the range partitioning: repartitionByRange
+        # re-samples boundaries per job, so without a materialized frame
+        # the counts job and the build job could disagree
+        corpus = (
+            corpus.repartitionByRange(*cfg.sort_docids_by)
+            .sortWithinPartitions(*cfg.sort_docids_by)
+            .persist()
+        )
+    counts = partition_counts(corpus)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    pipe_cfg = cfg.pipeline
+
+    out_schema = (
+        "docid long, docno string, repo string, path string, commit string, "
+        "lang string, sha256 string, doclen long, terms array<string>"
     )
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pyspark import TaskContext
+
+        pipe = make_pipeline(pipe_cfg)
+        pid = TaskContext.get().partitionId()
+        start_id = next_id = offsets.get(pid, 0)
+        expected = counts.get(pid, 0)
+        for pdf in batches:
+            contents = pdf["content"].fillna("")
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "docid": np.arange(next_id, next_id + n, dtype=np.int64),
+                    "docno": pdf["docno"].to_numpy(),
+                    "repo": pdf["repo"].to_numpy(),
+                    "path": pdf["path"].to_numpy(),
+                    "commit": pdf["commit"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "sha256": [
+                        hashlib.sha256(c.encode("utf-8")).hexdigest()
+                        for c in contents
+                    ],
+                    "terms": [pipe.terms(c) for c in contents],
+                }
+            )
+            out["doclen"] = out["terms"].map(len).astype(np.int64)
+            next_id += n
+            yield out[["docid", "docno", "repo", "path", "commit", "lang",
+                       "sha256", "doclen", "terms"]]
+        if next_id - start_id != expected:
+            raise RuntimeError(
+                f"partition {pid}: saw {next_id - start_id} rows, count "
+                f"pass saw {expected} — input partitioning is not "
+                "deterministic across jobs; persist the corpus first"
+            )
+
+    return corpus.mapInPandas(fused, schema=out_schema)
 
 
 def posting_rows(doc_terms: DataFrame) -> DataFrame:
@@ -143,11 +208,9 @@ def build_index(
     doc_terms = tokenized_corpus(corpus, cfg)
     doc_terms.persist()
 
-    # --- docs + meta ------------------------------------------------------
-    docs = doc_terms.select("docid", "docno", "doclen")
-    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    # --- meta (docs is a projection of it — one write, not two) -----------
     meta = doc_terms.select(
-        "docid", "docno", "repo", "path", "commit", "lang", "sha256"
+        "docid", "docno", "repo", "path", "commit", "lang", "sha256", "doclen"
     )
     meta.write.mode("overwrite").parquet(f"{out_dir}/meta")
 
@@ -165,21 +228,21 @@ def build_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/postings")
     )
+    doc_terms.unpersist()
 
     # --- lexicon ----------------------------------------------------------
-    # One aggregation replaces the reference's temp-lexicon merge machinery
-    # (LexiconBuilder.java:78,343-424).  termid = dense rank in
+    # One aggregation over block METADATA replaces the reference's
+    # temp-lexicon merge machinery (LexiconBuilder.java:78,343-424): nt
+    # from block posting counts, collection tf from per-block tf sums —
+    # no re-shuffle of posting rows.  termid = dense rank in
     # lexicographic term order (RunsMerger.java:236).
     blocks_df = spark.read.parquet(f"{out_dir}/postings")
-    lex_agg = blocks_df.groupBy("term").agg(
+    lexicon = blocks_df.groupBy("term").agg(
         F.sum("n").cast("long").alias("nt"),
+        F.sum("tf_sum").cast("long").alias("tf"),
         F.max("max_tf").alias("max_tf"),
         F.min("min_dl").alias("min_dl"),
     )
-    # collection frequency needs per-posting tf sums: aggregate from the
-    # posting rows (cheap second agg over the same shuffle output)
-    tf_agg = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("tf"))
-    lexicon = lex_agg.join(tf_agg, "term")
     lexicon = assign_docids(lexicon, order_by=["term"], id_col="__rank")
     lexicon = lexicon.withColumn("termid", F.col("__rank").cast("long")).drop("__rank")
     (
@@ -191,8 +254,8 @@ def build_index(
 
     # --- stats ------------------------------------------------------------
     lex_read = spark.read.parquet(f"{out_dir}/lexicon")
-    docs_read = spark.read.parquet(f"{out_dir}/docs")
-    drow = docs_read.agg(
+    meta_read = spark.read.parquet(f"{out_dir}/meta")
+    drow = meta_read.agg(
         F.count("*").alias("num_docs"), F.sum("doclen").alias("num_tokens")
     ).collect()[0]
     lrow = lex_read.agg(
@@ -209,10 +272,10 @@ def build_index(
     }
 
     n_docs = int(num_docs)
-    doc_terms.unpersist()
     elapsed = time.time() - t0
     manifest = {
-        "version": 1,
+        "version": 2,
+        "layout": "monolithic",
         "bucket_span": bucket_span,
         "block_size": cfg.block_size,
         "pipeline": asdict(cfg.pipeline) | {

@@ -96,7 +96,7 @@ def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
         ("block_id", pa.int32()), ("n", pa.int32()),
         ("first_docid", pa.int64()), ("last_docid", pa.int64()),
         ("max_tf", pa.int32()), ("min_dl", pa.int32()),
-        ("block", pa.binary()),
+        ("tf_sum", pa.int64()), ("block", pa.binary()),
     ])
     pq.write_table(
         pa.Table.from_pandas(blocks, schema=schema, preserve_index=False),
@@ -127,7 +127,7 @@ def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
             doc_rows.append((docid, row.docno, dl))
             meta_rows.append(
                 (docid, row.docno, row.repo, row.path, row.commit,
-                 row.lang, sha)
+                 row.lang, sha, dl)
             )
             bucket = docid // bucket_span
             for term, tf in Counter(terms).items():
@@ -138,7 +138,8 @@ def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
     docs = pd.DataFrame(doc_rows, columns=["docid", "docno", "doclen"])
     meta = pd.DataFrame(
         meta_rows,
-        columns=["docid", "docno", "repo", "path", "commit", "lang", "sha256"],
+        columns=["docid", "docno", "repo", "path", "commit", "lang",
+                 "sha256", "doclen"],
     )
     block_rows = []
     for (term, bucket), plist in sorted(postings.items()):
@@ -152,13 +153,14 @@ def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
                     term, bucket, b0 // cfg.block_size, b1 - b0,
                     int(ids[b0]), int(ids[b1 - 1]),
                     int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
+                    int(tfs[b0:b1].sum()),
                     encode_scoring_block(ids[b0:b1], tfs[b0:b1], dls[b0:b1]),
                 )
             )
     blocks = pd.DataFrame(
         block_rows,
         columns=["term", "bucket", "block_id", "n", "first_docid",
-                 "last_docid", "max_tf", "min_dl", "block"],
+                 "last_docid", "max_tf", "min_dl", "tf_sum", "block"],
     )
     return docs, meta, blocks, sha_acc.hexdigest()
 
@@ -255,29 +257,12 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
               bucket_span: int, t0: float, ckpt_rows: list) -> None:
     seg_glob = os.path.join(out_dir, "segments", "seg_*")
     postings = spark.read.parquet(f"{seg_glob}/postings.parquet")
-    # lexicon: merge per-segment partials (the RunsMerger pass) — nt from
-    # block n-sums, collection tf by decoding is unnecessary: store tf
-    # sums per block? we aggregate from decoded tf via a cheap decode
-    from terrier_spark.compression.vbyte import decode_scoring_block
-
-    def tf_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for row in pdf.itertuples():
-                _, tfs, _ = decode_scoring_block(row.block)
-                rows.append((row.term, int(row.n), int(tfs.sum()),
-                             int(row.max_tf), int(row.min_dl)))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["term", "n", "tf", "max_tf", "min_dl"]
-                )
-
-    partials = postings.select("term", "n", "max_tf", "min_dl", "block").mapInPandas(
-        tf_of, schema="term string, n long, tf long, max_tf int, min_dl int"
-    )
-    lex = partials.groupBy("term").agg(
+    # lexicon: merge per-segment partials (the RunsMerger pass) straight
+    # from block METADATA — nt from posting counts, collection tf from
+    # per-block tf sums; no block decode needed
+    lex = postings.groupBy("term").agg(
         F.sum("n").cast("long").alias("nt"),
-        F.sum("tf").cast("long").alias("tf"),
+        F.sum("tf_sum").cast("long").alias("tf"),
         F.max("max_tf").alias("max_tf"),
         F.min("min_dl").alias("min_dl"),
     )

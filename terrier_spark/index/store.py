@@ -46,7 +46,12 @@ class IndexStore:
     def docs(self, spark: SparkSession) -> DataFrame:
         if self.layout.startswith("segmented"):
             return spark.read.parquet(f"{self.path}/segments/seg_*/docs.parquet")
-        return spark.read.parquet(f"{self.path}/docs")
+        if os.path.isdir(f"{self.path}/docs"):  # layout version 1
+            return spark.read.parquet(f"{self.path}/docs")
+        # v2 monolithic layout: docs is a projection of meta (one write)
+        return spark.read.parquet(f"{self.path}/meta").select(
+            "docid", "docno", "doclen"
+        )
 
     def meta(self, spark: SparkSession) -> DataFrame:
         if self.layout.startswith("segmented"):

@@ -42,7 +42,12 @@ class OracleIndex:
 
     def search(self, query: str, qcfg: QueryConfig | None = None
                ) -> List[Tuple[int, float]]:
-        """-> [(docid, score)] ranked score desc, docid asc, length <= k."""
+        """-> [(docid, score)] ranked score desc, docid asc, length <= k.
+
+        BM25 is computed inline (fully independent of the engine's
+        kernels); other models use the registry kernels scalar-wise —
+        their formulas are pinned separately by value goldens in
+        tests/test_models.py."""
         qcfg = qcfg or QueryConfig()
         bm25 = qcfg.bm25
         pipe = make_pipeline(self.pipeline)
@@ -55,10 +60,79 @@ class OracleIndex:
             if qcfg.ignore_low_idf and self.tf_collection(term) > self.num_docs:
                 continue
             nt = len(plist)
+            if qcfg.model == "BM25":
+                idf = math.log2((self.num_docs - nt + 0.5) / (nt + 0.5))
+                for docid, tf in plist.items():
+                    K = bm25.k1 * ((1 - bm25.b) + bm25.b * self.doclen[docid] / self.avgdl) + tf
+                    s = (tf * (bm25.k3 + 1.0) * qtf / ((bm25.k3 + qtf) * K)) * idf
+                    acc[docid] = acc.get(docid, 0.0) + s
+            else:
+                from terrier_spark.query.models import score_scalar
+
+                F_c = self.tf_collection(term)
+                for docid, tf in plist.items():
+                    s = score_scalar(
+                        qcfg.model, tf, self.doclen[docid], qtf, nt, F_c,
+                        self.num_docs, self.avgdl, self.num_tokens,
+                    )
+                    acc[docid] = acc.get(docid, 0.0) + s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[: qcfg.k]
+
+    def _score_terms(self, weighted: Dict[str, float],
+                     qcfg: QueryConfig) -> List[Tuple[int, float]]:
+        acc: Dict[int, float] = {}
+        bm25 = qcfg.bm25
+        for term, qtf in weighted.items():
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            if qcfg.ignore_low_idf and self.tf_collection(term) > self.num_docs:
+                continue
+            nt = len(plist)
             idf = math.log2((self.num_docs - nt + 0.5) / (nt + 0.5))
             for docid, tf in plist.items():
                 K = bm25.k1 * ((1 - bm25.b) + bm25.b * self.doclen[docid] / self.avgdl) + tf
                 s = (tf * (bm25.k3 + 1.0) * qtf / ((bm25.k3 + qtf) * K)) * idf
                 acc[docid] = acc.get(docid, 0.0) + s
-        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-        return ranked[: qcfg.k]
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[: qcfg.k]
+
+    def search_with_expansion(self, query: str,
+                              qcfg: QueryConfig | None = None,
+                              fb_docs: int = 3, fb_terms: int = 10
+                              ) -> List[Tuple[int, float]]:
+        """Bo1 PRF, mirroring terrier_spark.query.expansion semantics
+        (BM25 first pass + Bo1 reweighting + BM25 second pass)."""
+        qcfg = qcfg or QueryConfig()
+        pipe = make_pipeline(self.pipeline)
+        qcounts = Counter(pipe.query_terms(query))
+        first = self.search(query, qcfg)[:fb_docs]
+        if not first:
+            return self.search(query, qcfg)
+        fb_ids = [d for d, _ in first]
+        tf_x: Dict[str, int] = {}
+        df_fb: Dict[str, int] = {}
+        for term, plist in self.postings.items():
+            hits = [plist[d] for d in fb_ids if d in plist]
+            if hits:
+                tf_x[term] = sum(hits)
+                df_fb[term] = len(hits)
+        min_df = 0 if len(fb_ids) < 2 else 2
+        weights = {}
+        for term, tx in tf_x.items():
+            if min_df and df_fb[term] < min_df and term not in qcounts:
+                weights[term] = 0.0
+                continue
+            f = self.tf_collection(term) / self.num_docs
+            weights[term] = tx * math.log2((1 + f) / f) + math.log2(1 + f)
+        t_max = max(weights, key=lambda t: weights[t])
+        tfm = tf_x[t_max]
+        n_prime = self.num_tokens / self.avgdl
+        f_max = tfm / n_prime
+        norm = tfm * math.log2((1 + f_max) / f_max) + math.log2(1 + f_max)
+        n_reweight = max(fb_terms, len(qcounts))
+        top = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:n_reweight]
+        merged = {t: float(q) for t, q in qcounts.items()}
+        for t, w in top:
+            merged[t] = merged.get(t, 0.0) + (w / norm if norm > 0 else 0.0)
+        return self._score_terms(merged, qcfg)

@@ -1,0 +1,199 @@
+"""Direct index + Bo1 pseudo-relevance-feedback query expansion.
+
+Direct index (forward index): per-docid term/tf rows, built by
+transposing the inverted postings — the Spark shuffle IS the transpose
+(org/terrier/structures/indexing/singlepass/Inverted2DirectIndexBuilder.java,
+SURVEY.md §2.3).
+
+Bo1 expansion replicates the reference semantics exactly:
+  * feedback set = top `fb_docs` (default 3) documents of the first-pass
+    ranking (querying/QueryExpansion.java, expansion.documents);
+  * candidate weights w(t) = tf_x * log2((1+f)/f) + log2(1+f),
+    f = F/N, tf_x = frequency in the feedback set
+    (matching/models/queryexpansion/Bo1.java:score);
+  * terms in fewer than 2 feedback docs are dropped unless original
+    (DFRBagExpansionTerms.java:85,267, expansion.mindocuments=2, applied
+    when the feedback set has >= 2 docs);
+  * parameter-free normaliser: Bo1 weight of the top term computed with
+    maxTermFrequency standing in for BOTH tf and F, and
+    N' = collectionLength/averageDocumentLength (Bo1.java:55-61 —
+    reference quirk replicated);
+  * top max(fb_terms, |q|) candidates (expansion.terms=10) get weight
+    w/normaliser, ADDED to the original weight (1.0 per original qtf) —
+    MatchingQueryTerms.addTermPropertyWeight(:320-327).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrier_spark.config import QueryConfig
+from terrier_spark.index.store import IndexStore
+from terrier_spark.query.search import process_queries, search_terms
+
+EXPANSION_DOCS = 3
+EXPANSION_TERMS = 10
+EXPANSION_MIN_DOCS = 2
+
+
+def build_direct_index(spark: SparkSession, store: IndexStore) -> None:
+    """Transpose the inverted postings into {path}/direct rows
+    (docid, term, tf), range-partitioned by docid so feedback-doc
+    lookups prune."""
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, tfs, _ = decode_scoring_block(row.block)
+                outs.append(
+                    pd.DataFrame({"docid": ids, "term": row.term, "tf": tfs})
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    rows = store.postings(spark).select("term", "block").mapInPandas(
+        explode, schema="docid long, term string, tf long"
+    )
+    (
+        rows.repartitionByRange(16, "docid")
+        .sortWithinPartitions("docid", "term")
+        .write.mode("overwrite")
+        .parquet(f"{store.path}/direct")
+    )
+
+
+def direct_index(spark: SparkSession, store: IndexStore) -> DataFrame:
+    import os
+
+    if not os.path.isdir(f"{store.path}/direct"):
+        build_direct_index(spark, store)
+    return spark.read.parquet(f"{store.path}/direct")
+
+
+def bo1_weights(feedback: pd.DataFrame, lex: pd.DataFrame, N: int,
+                avgdl: float, T: int) -> pd.DataFrame:
+    """feedback: rows (qid, term, tf_x, n_fb_docs_with_term, n_fb_docs);
+    lex: (term, tfc).  -> (qid, term, w_norm) per reference semantics."""
+    fb = feedback.merge(lex, on="term")
+    f = fb["tfc"].to_numpy(np.float64) / N
+    tfx = fb["tf_x"].to_numpy(np.float64)
+    fb["w"] = tfx * np.log2((1.0 + f) / f) + np.log2(1.0 + f)
+    out = []
+    for qid, grp in fb.groupby("qid"):
+        grp = grp.copy()
+        n_fb = int(grp["n_fb_docs"].iloc[0])
+        min_df = 0 if n_fb < EXPANSION_MIN_DOCS else EXPANSION_MIN_DOCS
+        if min_df:
+            keep = (grp["n_fb_docs_with_term"] >= min_df) | grp["is_original"]
+            grp.loc[~keep, "w"] = 0.0
+        # parameter-free normaliser from the max-weight term's tf_x
+        # (Bo1.parameterFreeNormaliser: tf_max plays both roles)
+        imax = grp["w"].idxmax()
+        tf_max = float(grp.loc[imax, "tf_x"])
+        n_prime = T / avgdl
+        f_max = tf_max / n_prime
+        norm = tf_max * math.log2((1.0 + f_max) / f_max) + math.log2(1.0 + f_max)
+        grp["w_norm"] = grp["w"] / norm if norm > 0 else 0.0
+        out.append(grp[["qid", "term", "w_norm", "is_original"]])
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame(columns=["qid", "term", "w_norm", "is_original"])
+    )
+
+
+def expand_queries(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: Sequence[Tuple[str, str]],
+    qcfg: Optional[QueryConfig] = None,
+    fb_docs: int = EXPANSION_DOCS,
+    fb_terms: int = EXPANSION_TERMS,
+) -> pd.DataFrame:
+    """First-pass search -> Bo1 -> expanded weighted term frame
+    (qid, term, qtf float)."""
+    qcfg = qcfg or QueryConfig()
+    stats = store.stats
+    N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
+
+    orig = process_queries(queries, store.pipeline_config())
+    first = search_terms(spark, store, orig, qcfg)
+    fb_sel = (
+        first.filter(F.col("rank") < fb_docs)
+        .select("qid", "docid")
+        .toPandas()
+    )
+    if fb_sel.empty:
+        return orig.assign(qtf=orig["qtf"].astype(float))
+
+    docids = sorted(set(fb_sel["docid"]))
+    direct = (
+        direct_index(spark, store)
+        .filter(F.col("docid").isin(docids))
+        .toPandas()
+    )
+    fb = fb_sel.merge(direct, on="docid")
+    agg = (
+        fb.groupby(["qid", "term"])
+        .agg(tf_x=("tf", "sum"), n_fb_docs_with_term=("docid", "nunique"))
+        .reset_index()
+    )
+    n_fb = fb_sel.groupby("qid")["docid"].nunique().rename("n_fb_docs")
+    agg = agg.merge(n_fb, on="qid")
+    orig_pairs = set(zip(orig["qid"], orig["term"]))
+    agg["is_original"] = [
+        (q, t) in orig_pairs for q, t in zip(agg["qid"], agg["term"])
+    ]
+
+    terms = sorted(set(agg["term"]))
+    lex = (
+        store.lexicon(spark)
+        .filter(F.col("term").isin(terms))
+        .select("term", F.col("tf").alias("tfc"))
+        .toPandas()
+    )
+    weights = bo1_weights(agg, lex, N, avgdl, T)
+
+    rows = []
+    for qid, grp in weights.groupby("qid"):
+        q_orig = orig[orig["qid"] == qid]
+        n_reweight = max(fb_terms, len(q_orig))
+        top = grp.sort_values(
+            ["w_norm", "term"], ascending=[False, True]
+        ).head(n_reweight)
+        merged: dict[str, float] = {
+            t: float(q) for t, q in zip(q_orig["term"], q_orig["qtf"])
+        }
+        for t, w in zip(top["term"], top["w_norm"]):
+            merged[t] = merged.get(t, 0.0) + float(w)
+        for t, w in merged.items():
+            rows.append((qid, t, w))
+    # queries with no feedback keep their original terms
+    covered = set(weights["qid"])
+    for qid, grp in orig.groupby("qid"):
+        if qid not in covered:
+            for t, q in zip(grp["term"], grp["qtf"]):
+                rows.append((qid, t, float(q)))
+    return pd.DataFrame(rows, columns=["qid", "term", "qtf"])
+
+
+def search_with_expansion(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: Sequence[Tuple[str, str]],
+    qcfg: Optional[QueryConfig] = None,
+    fb_docs: int = EXPANSION_DOCS,
+    fb_terms: int = EXPANSION_TERMS,
+) -> DataFrame:
+    """Two-pass PRF retrieval (the reference's runPostProcessing QE stage,
+    querying/Manager.java:746-857)."""
+    expanded = expand_queries(spark, store, queries, qcfg, fb_docs, fb_terms)
+    return search_terms(spark, store, expanded, qcfg)

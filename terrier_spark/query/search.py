@@ -1,4 +1,5 @@
-"""Batch BM25 top-k retrieval over the compressed posting store.
+"""Batch top-k retrieval over the compressed posting store, generic over
+weighting models (default BM25).
 
 The reference's DAAT heap walk (org/terrier/matching/daat/Full.java:78-186)
 becomes a declarative plan Catalyst owns:
@@ -8,7 +9,7 @@ becomes a declarative plan Catalyst owns:
          PostingListManager.java:213; low-idf drop :217-219]
       -> [prune] drop (qid,bucket) whose WAND upper bound < theta
          [WAND.java:190-289, made bound-safe at block granularity]
-      -> mapInPandas VByte decode + numpy BM25         [vectorized scoring]
+      -> mapInPandas VByte decode + numpy model kernel [vectorized scoring]
       -> groupBy(qid, docid).sum(score)                [accumulators]
       -> per-qid top-k, ties: score desc, docid asc    [pinned — reference
          ties are unstable, daat/CandidateResult.java:52-62]
@@ -25,11 +26,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from terrier_spark.compression.vbyte import decode_scoring_block
-from terrier_spark.config import BM25Config, QueryConfig
+from terrier_spark.config import QueryConfig
 from terrier_spark.index.store import IndexStore
-from terrier_spark.query.bm25 import bm25_partial_np, bm25_score_scalar
+from terrier_spark.query.models import get_model, score_scalar
 from terrier_spark.text.pipeline import make_pipeline
 
 
@@ -52,49 +54,47 @@ def _qterm_stats(spark: SparkSession, store: IndexStore, qterms: pd.DataFrame,
                  qcfg: QueryConfig) -> pd.DataFrame:
     """Join query terms against the lexicon driver-side (the lexicon rows
     touched == distinct query terms, always tiny), apply the low-idf drop,
-    and precompute idf + per-term score upper bounds."""
+    and precompute per-term score upper bounds from the index-time
+    (max_tf, min_dl) metadata — the analog of the fork's query-time exact
+    max-score pre-scan (WAND.java:76-96), paid at index time instead."""
     stats = store.stats
-    N, avgdl = stats["num_docs"], stats["avg_doclen"]
+    N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
+    empty = qterms.iloc[0:0].assign(nt=0, tfc=0, term_ub=0.0)
     terms = sorted(set(qterms["term"]))
     if not terms:
-        return qterms.iloc[0:0].assign(nt=0, tf=0, idf=0.0, term_ub=0.0)
+        return empty
     lex = (
         store.lexicon(spark)
         .filter(F.col("term").isin(terms))
-        .select("term", "nt", "tf", "max_tf", "min_dl")
+        .select("term", "nt", F.col("tf").alias("tfc"), "max_tf", "min_dl")
         .toPandas()
     )
     merged = qterms.merge(lex, on="term", how="inner")  # OOV terms drop out
     if qcfg.ignore_low_idf:
         # drop when collection frequency exceeds N
         # (PostingListManager.java:217-219: N < t.getFrequency())
-        merged = merged[merged["tf"] <= N]
+        merged = merged[merged["tfc"] <= N]
     if merged.empty:
-        return merged.assign(idf=0.0, term_ub=0.0)
+        return empty
     merged = merged.copy()
-    merged["idf"] = np.log2(
-        (N - merged["nt"].to_numpy(np.float64) + 0.5)
-        / (merged["nt"].to_numpy(np.float64) + 0.5)
-    )
-    # per-term upper bound from index-time (max_tf, min_dl) — the analog of
-    # the fork's query-time exact max-score pre-scan (WAND.java:76-96),
-    # computed at index time instead (SURVEY.md §4)
-    # per-term upper bound: (max_tf, min_dl) maximizes the tf-part, valid
-    # only for idf >= 0; negative-idf terms contribute at most 0
+    # upper bound: monotone models bound every posting by (max_tf, min_dl);
+    # clamped at 0 (valid when the idf factor goes negative, where every
+    # actual score is negative)
     merged["term_ub"] = [
-        max(bm25_score_scalar(r.max_tf, r.min_dl, r.nt, r.qtf, N, avgdl,
-                              qcfg.bm25), 0.0)
-        if r.idf < 0
-        else bm25_score_scalar(r.max_tf, r.min_dl, r.nt, r.qtf, N, avgdl,
-                               qcfg.bm25)
+        max(
+            score_scalar(qcfg.model, r.max_tf, r.min_dl, r.qtf, r.nt, r.tfc,
+                         N, avgdl, T),
+            0.0,
+        )
         for r in merged.itertuples()
     ]
     return merged
 
 
-def _decode_score_udf(N: int, avgdl: float, bm25: BM25Config):
-    """mapInPandas kernel: (qid, qtf, idf, block) rows -> (qid, docid,
-    score) posting rows; VByte decode + BM25 all numpy-vectorized."""
+def _decode_score_udf(model: str, N: int, avgdl: float, T: int):
+    """mapInPandas kernel: (qid, qtf, nt, tfc, block) rows -> (qid, docid,
+    score) posting rows; VByte decode + model kernel, all numpy."""
+    kernel = get_model(model).kernel
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,9 +103,8 @@ def _decode_score_udf(N: int, avgdl: float, bm25: BM25Config):
                 ids, tfs, dls = decode_scoring_block(row.block)
                 if ids.size == 0:
                     continue
-                scores = bm25_partial_np(
-                    tfs, dls, row.qtf, row.idf, N, avgdl, bm25
-                )
+                scores = kernel(tfs, dls, row.qtf, row.nt, row.tfc,
+                                N, avgdl, T)
                 out_qid.append(np.full(ids.size, row.qid, dtype=object))
                 out_docid.append(ids)
                 out_score.append(scores)
@@ -142,13 +141,29 @@ def search(
 
     Rank semantics: score desc, docid asc, 0-based rank, k results
     (BaseMatching.java:283-316 with the tie-break pinned)."""
+    return search_terms(
+        spark, store,
+        process_queries(queries, store.pipeline_config()),
+        qcfg, with_meta,
+    )
+
+
+def search_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    qterms: pd.DataFrame,
+    qcfg: Optional[QueryConfig] = None,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Like search(), but takes pre-pipelined weighted terms directly:
+    a pandas frame (qid, term, qtf) with float qtf allowed — the entry
+    point query expansion re-enters with Bo1 weights
+    (Manager.runMatching keyFrequency semantics)."""
     qcfg = qcfg or QueryConfig()
     stats = store.stats
-    N, avgdl = stats["num_docs"], stats["avg_doclen"]
+    N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
 
-    qstats = _qterm_stats(
-        spark, store, process_queries(queries, store.pipeline_config()), qcfg
-    )
+    qstats = _qterm_stats(spark, store, qterms, qcfg)
     if qstats.empty:
         schema = (
             "qid string, rank int, docid long, docno string, sha256 string, "
@@ -160,16 +175,17 @@ def search(
 
     terms = sorted(set(qstats["term"]))
     blocks = store.postings(spark).filter(F.col("term").isin(terms))
+    qstats = qstats.assign(qtf=qstats["qtf"].astype(float))
     qs_df = spark.createDataFrame(
-        qstats[["qid", "term", "qtf", "idf", "term_ub"]]
+        qstats[["qid", "term", "qtf", "nt", "tfc", "term_ub"]]
     )
     joined = blocks.join(F.broadcast(qs_df), "term")
 
-    if qcfg.prune:
-        joined = _prune_buckets(spark, joined, qstats, qcfg, N, avgdl)
+    if qcfg.prune and get_model(qcfg.model).prunable:
+        joined = _prune_buckets(spark, joined, qcfg, N, avgdl, T)
 
-    decoded = joined.select("qid", "qtf", "idf", "block").mapInPandas(
-        _decode_score_udf(N, avgdl, qcfg.bm25),
+    decoded = joined.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(
+        _decode_score_udf(qcfg.model, N, avgdl, T),
         schema="qid string, docid long, score double",
     )
     scored = decoded.groupBy("qid", "docid").agg(F.sum("score").alias("score"))
@@ -182,8 +198,8 @@ def search(
     return out
 
 
-def _prune_buckets(spark, joined: DataFrame, qstats: pd.DataFrame,
-                   qcfg: QueryConfig, N: int, avgdl: float) -> DataFrame:
+def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
+                   N: int, avgdl: float, T: int) -> DataFrame:
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -194,31 +210,25 @@ def _prune_buckets(spark, joined: DataFrame, qstats: pd.DataFrame,
     A pruned bucket's every doc satisfies score <= UB < theta <= kth best,
     so the final top-k is identical to the exhaustive plan (verified by
     tests/test_search.py::test_pruned_equals_unpruned)."""
-    bm25 = qcfg.bm25
-    # per-(qid,bucket) upper bound: sum over query terms of the best block
-    # bound in that bucket.  The (max_tf, min_dl) bound maximizes the
-    # tf-part, which is only an UPPER bound when idf >= 0; for negative
-    # idf (nt > N/2, kept when ignore_low_idf is off) the safe bound is 0.
-    raw_ub = (
-        F.col("max_tf").cast("double") * F.lit(bm25.k3 + 1.0) * F.col("qtf")
-        / (
-            (F.lit(bm25.k3) + F.col("qtf"))
-            * (
-                F.lit(bm25.k1)
-                * (
-                    F.lit(1.0 - bm25.b)
-                    + F.lit(bm25.b) * F.col("min_dl") / F.lit(avgdl)
-                )
-                + F.col("max_tf").cast("double")
-            )
+    kernel = get_model(qcfg.model).kernel
+
+    @F.pandas_udf(DoubleType())
+    def block_ub(max_tf: pd.Series, min_dl: pd.Series, qtf: pd.Series,
+                 nt: pd.Series, tfc: pd.Series) -> pd.Series:
+        ub = kernel(
+            max_tf.to_numpy(np.float64), min_dl.to_numpy(np.float64),
+            qtf.to_numpy(np.float64), nt.to_numpy(np.float64),
+            tfc.to_numpy(np.float64), N, avgdl, T,
         )
-    ) * F.col("idf")
-    block_ub = joined.withColumn(
+        return pd.Series(np.maximum(ub, 0.0))
+
+    block_ubs = joined.withColumn(
         "block_ub",
-        F.when(F.col("idf") >= 0, raw_ub).otherwise(F.lit(0.0)),
+        block_ub(F.col("max_tf"), F.col("min_dl"), F.col("qtf"),
+                 F.col("nt"), F.col("tfc")),
     )
     bucket_ub = (
-        block_ub.groupBy("qid", "bucket", "term")
+        block_ubs.groupBy("qid", "bucket", "term")
         .agg(F.max("block_ub").alias("t_ub"))
         .groupBy("qid", "bucket")
         .agg(F.sum("t_ub").alias("bucket_ub"))
@@ -231,8 +241,8 @@ def _prune_buckets(spark, joined: DataFrame, qstats: pd.DataFrame,
         "qid", "bucket"
     )
     pass1 = joined.join(F.broadcast(best), ["qid", "bucket"])
-    decoded1 = pass1.select("qid", "qtf", "idf", "block").mapInPandas(
-        _decode_score_udf(N, avgdl, bm25),
+    decoded1 = pass1.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(
+        _decode_score_udf(qcfg.model, N, avgdl, T),
         schema="qid string, docid long, score double",
     )
     kth = (

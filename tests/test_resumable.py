@@ -18,8 +18,17 @@ from terrier_spark.query.search import search
 def table_snapshot(spark, store):
     """Logical content of every index table (parquet bytes depend on task
     scheduling, so equality is asserted on rows, not files)."""
-    docs = sorted(map(tuple, store.docs(spark).collect()))
-    meta = sorted(map(tuple, store.meta(spark).collect()))
+    docs = sorted(
+        map(tuple, store.docs(spark).select("docid", "docno", "doclen").collect())
+    )
+    meta = sorted(
+        map(
+            tuple,
+            store.meta(spark)
+            .select("docid", "docno", "repo", "path", "commit", "lang", "sha256")
+            .collect(),
+        )
+    )
     lex = sorted(
         map(tuple, store.lexicon(spark).select("term", "termid", "nt", "tf").collect())
     )

@@ -281,6 +281,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch as bm25_topk under the TF_IDF weighting model
+    (matching/models/TF_IDF.java)."""
+    from terrier_spark.config import QueryConfig
+
+    store = gate_index(spark, sf_dir)
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True,
+                       model="TF_IDF")
+    res = search(spark, store, queries, qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
 def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docid intersection of posting lists (ANDIterablePosting.java:40-152
     as a group-having plan)."""
@@ -379,8 +401,53 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TERMS_IN = ", ".join(f"'{t}'" for t in BOOLEAN_TERMS)
 _PTERMS_IN = ", ".join(f"'{t}'" for t in POSTING_TERMS)
 
+def _tf_idf_sql(k: int = GATE_K) -> str:
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+),
+ntt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM toks GROUP BY term
+),
+q(qid, term) AS (VALUES {_query_values()}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(
+           1.0 * (1.2 * tf.tf
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl)))
+           * log2(consts.n / ntt.nt + 1.0)
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = q.term
+  CROSS JOIN consts
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored
+QUALIFY rank < {k}
+"""
+
+
 IR_QUERIES = {
     "lexicon": q_lexicon,
+    "tf_idf_topk": q_tf_idf_topk,
     "doc_lengths": q_doc_lengths,
     "collection_stats": q_collection_stats,
     "postings": q_postings,
@@ -421,6 +488,7 @@ FROM toks WHERE term IN ({_PTERMS_IN})
 GROUP BY term, doc_id
 """,
     "bm25_topk": _bm25_sql(),
+    "tf_idf_topk": _tf_idf_sql(),
     "boolean_and": f"""
 WITH {TOKS_CTE}
 SELECT doc_id FROM toks WHERE term IN ({_TERMS_IN})

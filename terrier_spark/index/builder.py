@@ -205,6 +205,14 @@ def build_index(
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
+    # Pin the input partitioning: docid assignment counts partitions in
+    # one job and assigns in another, so the partition layout must be
+    # identical across jobs.  File scans are stable, but LocalRelations /
+    # shuffled inputs are not (Catalyst may even aggregate a local
+    # relation driver-side) — persisting materializes one layout both
+    # jobs share.  (At true 100 TB scale you'd skip this and require a
+    # file-backed source; the fused pass raises loudly on any mismatch.)
+    corpus = corpus.persist()
     doc_terms = tokenized_corpus(corpus, cfg)
     doc_terms.persist()
 
@@ -229,6 +237,7 @@ def build_index(
         .parquet(f"{out_dir}/postings")
     )
     doc_terms.unpersist()
+    corpus.unpersist()
 
     # --- lexicon ----------------------------------------------------------
     # One aggregation over block METADATA replaces the reference's

@@ -1,0 +1,140 @@
+"""Index merging — two complete indexes into one.
+
+The reference's StructureMerger/LexiconMerger (org/terrier/structures/
+merging/StructureMerger.java:84-176,533-637): docids of the second index
+are offset by the first's document count; lexicons merge by term.  Here
+the posting blocks of the second index are re-based by a vectorized
+decode/offset/encode pass (blocks are independent, so this is
+embarrassingly parallel), bucket ids shift by the same offset, and the
+lexicon/stats re-aggregate from block metadata.
+
+Used for distributed-retrieval sharding: build shard indexes
+independently, merge pairwise (or query them as one via the segmented
+store, which is the MultiIndex path — SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrier_spark.compression.vbyte import (
+    decode_scoring_block,
+    encode_scoring_block,
+)
+from terrier_spark.index.docids import assign_docids
+from terrier_spark.index.store import IndexStore
+
+
+def _rebase_blocks(offset: int, span: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                ids, tfs, dls = decode_scoring_block(row.block)
+                ids = ids + offset
+                rows.append(
+                    (
+                        row.term, int(ids[0] // span), row.block_id, row.n,
+                        int(ids[0]), int(ids[-1]), row.max_tf, row.min_dl,
+                        row.tf_sum, encode_scoring_block(ids, tfs, dls),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["term", "bucket", "block_id", "n",
+                             "first_docid", "last_docid", "max_tf",
+                             "min_dl", "tf_sum", "block"],
+                )
+
+    return run
+
+
+def merge_indexes(spark: SparkSession, a: IndexStore, b: IndexStore,
+                  out_dir: str) -> IndexStore:
+    """Merge index b after index a (docids of b += a.num_docs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    offset = a.stats["num_docs"]
+    span_a, span_b = a.bucket_span, b.bucket_span
+    if span_a != span_b:
+        raise ValueError("bucket_span mismatch between indexes")
+
+    # meta (docs is its projection in the merged layout)
+    meta_cols = ["docid", "docno", "repo", "path", "commit", "lang",
+                 "sha256", "doclen"]
+    meta_a = a.meta(spark)
+    if "doclen" not in meta_a.columns:
+        meta_a = meta_a.join(a.docs(spark).select("docid", "doclen"), "docid")
+    meta_b = b.meta(spark)
+    if "doclen" not in meta_b.columns:
+        meta_b = meta_b.join(b.docs(spark).select("docid", "doclen"), "docid")
+    meta = meta_a.select(meta_cols).unionByName(
+        meta_b.select(meta_cols).withColumn(
+            "docid", F.col("docid") + F.lit(offset)
+        )
+    )
+    meta.write.mode("overwrite").parquet(f"{out_dir}/meta")
+
+    # postings: a verbatim, b re-based
+    schema = (
+        "term string, bucket long, block_id int, n int, first_docid long, "
+        "last_docid long, max_tf int, min_dl int, tf_sum long, block binary"
+    )
+    blocks_a = a.postings(spark)
+    blocks_b = b.postings(spark).mapInPandas(
+        _rebase_blocks(offset, span_b), schema=schema
+    )
+    (
+        blocks_a.unionByName(blocks_b)
+        .repartitionByRange(16, "term", "bucket")
+        .sortWithinPartitions("term", "bucket", "block_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings")
+    )
+
+    # lexicon + stats from merged block metadata
+    blocks = spark.read.parquet(f"{out_dir}/postings")
+    lexicon = blocks.groupBy("term").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("tf_sum").cast("long").alias("tf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
+    )
+    lexicon = assign_docids(lexicon, order_by=["term"], id_col="__rank")
+    lexicon = lexicon.withColumn(
+        "termid", F.col("__rank").cast("long")
+    ).drop("__rank")
+    lexicon.repartitionByRange(4, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/lexicon")
+
+    sa, sb = a.stats, b.stats
+    num_docs = sa["num_docs"] + sb["num_docs"]
+    num_tokens = sa["num_tokens"] + sb["num_tokens"]
+    lrow = spark.read.parquet(f"{out_dir}/lexicon").agg(
+        F.count("*").alias("nt"), F.sum("nt").alias("np")
+    ).collect()[0]
+    manifest = {
+        "version": 2,
+        "layout": "monolithic",
+        "bucket_span": span_a,
+        "block_size": a.manifest["block_size"],
+        "pipeline": a.manifest["pipeline"],
+        "stats": {
+            "num_docs": num_docs,
+            "num_terms": int(lrow["nt"] or 0),
+            "num_tokens": num_tokens,
+            "num_pointers": int(lrow["np"] or 0),
+            "avg_doclen": num_tokens / num_docs if num_docs else 0.0,
+        },
+        "metrics": {"merged_from": [a.path, b.path]},
+    }
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return IndexStore(out_dir)

@@ -183,6 +183,9 @@ def build_index_resumable(
     cfg = cfg or IndexConfig()
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    # pin partitioning across the plan job and the build job (see
+    # builder.build_index for rationale)
+    corpus = corpus.persist()
     plan = _plan(spark, corpus, out_dir)
     seg_root = os.path.join(out_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)

@@ -1,0 +1,96 @@
+"""TREC-style run output + ad-hoc retrieval evaluation.
+
+Run format `qid Q0 docno rank score tag` mirrors
+org/terrier/structures/outputformat/TRECDocnoOutputFormat.java:79-110;
+evaluation computes the measures of
+org/terrier/evaluation/AdhocEvaluation.java:50-124,227-272 (MAP,
+precision@rank, R-precision) from a results DataFrame and a qrels
+table — the reference's `TrecTerrier -e` as a library call.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Mapping, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRECISION_RANKS = (1, 2, 3, 4, 5, 10, 15, 20, 30, 50, 100, 200, 500, 1000)
+
+
+def to_trec_run(results: DataFrame, tag: str = "terrier_spark") -> DataFrame:
+    """(qid, rank, docno|docid, score, ...) -> one formatted line per row
+    in rank order: `qid Q0 docno rank score tag`."""
+    docno = F.col("docno") if "docno" in results.columns else F.col("docid")
+    return results.select(
+        F.concat_ws(
+            " ",
+            F.col("qid"), F.lit("Q0"), docno.cast("string"),
+            F.col("rank").cast("string"), F.col("score").cast("string"),
+            F.lit(tag),
+        ).alias("line"),
+        "qid", "rank",
+    ).orderBy("qid", "rank").select("line")
+
+
+def parse_qrels(lines: Iterable[str]) -> Dict[str, set]:
+    """TREC qrels `qid 0 docno rel` -> {qid: {docno relevant}}
+    (org/terrier/evaluation/TRECQrelsInMemory.java)."""
+    rel: Dict[str, set] = {}
+    for line in lines:
+        parts = line.split()
+        if len(parts) < 4:
+            continue
+        qid, _, docno, grade = parts[:4]
+        if int(grade) > 0:
+            rel.setdefault(qid, set()).add(docno)
+    return rel
+
+
+def evaluate_run(
+    results: pd.DataFrame,
+    qrels: Mapping[str, set],
+    doc_col: str = "docno",
+) -> Dict[str, object]:
+    """results: pandas (qid, rank, docno/docid) sorted by rank per qid.
+    -> {MAP, R-precision, P@k dict, per-query AP} over queries WITH
+    judgements (AdhocEvaluation skips unjudged queries, :117-124)."""
+    ap_per_query: Dict[str, float] = {}
+    rprec_per_query: Dict[str, float] = {}
+    prec_at: Dict[int, float] = {k: 0.0 for k in PRECISION_RANKS}
+    n_q = 0
+    for qid, grp in results.groupby("qid"):
+        relevant = qrels.get(str(qid))
+        if not relevant:
+            continue
+        n_q += 1
+        R = len(relevant)
+        grp = grp.sort_values("rank")
+        docs = [str(d) for d in grp[doc_col]]
+        hits = 0
+        ap = 0.0
+        for i, d in enumerate(docs):
+            if d in relevant:
+                hits += 1
+                ap += hits / (i + 1)
+            if (i + 1) in prec_at:
+                prec_at[i + 1] += hits / (i + 1)
+        n_ret = len(docs)
+        final_hits = hits
+        for k in PRECISION_RANKS:
+            if k > n_ret:
+                prec_at[k] += final_hits / k
+        ap_per_query[str(qid)] = ap / R
+        r_hits = sum(1 for d in docs[:R] if d in relevant)
+        rprec_per_query[str(qid)] = r_hits / R if R else 0.0
+    if n_q == 0:
+        return {"MAP": 0.0, "R_precision": 0.0, "P_at": {},
+                "AP_per_query": {}, "num_queries": 0}
+    return {
+        "MAP": sum(ap_per_query.values()) / n_q,
+        "R_precision": sum(rprec_per_query.values()) / n_q,
+        "P_at": {k: v / n_q for k, v in prec_at.items()},
+        "AP_per_query": ap_per_query,
+        "num_queries": n_q,
+    }

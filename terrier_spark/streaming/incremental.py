@@ -81,6 +81,8 @@ class IncrementalIndexer:
             return  # retried batch: already committed
         base = state["total_docs"]
         spark = batch_df.sparkSession
+        # pin partitioning across the count job and the build job
+        batch_df = batch_df.persist()
 
         counts = (
             batch_df.withColumn("__pid", F.spark_partition_id())
@@ -142,6 +144,7 @@ class IncrementalIndexer:
             {**r, "batch_id": batch_id} for r in ckpt.to_dict("records")
         )
         self._save_state(state)
+        batch_df.unpersist()
 
         n_batches = len(state["batches"])
         if n_batches % self.finalize_every == 0:

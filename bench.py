@@ -81,6 +81,18 @@ def main() -> None:
             n_rows = res.count()  # materialize the whole batch
             phases[phase] = round(time.time() - t0, 3)
 
+        # per-query latency sample (the reference's "Time to process
+        # query" protocol): individual warm queries, p50/p95
+        sample = queries[:: max(len(queries) // 24, 1)][:24]
+        lat = []
+        for qid, text in sample:
+            t0 = time.time()
+            search(spark, store, [(qid, text)], qcfg).count()
+            lat.append(time.time() - t0)
+        lat.sort()
+        phases["per_query_p50"] = round(lat[len(lat) // 2], 3)
+        phases["per_query_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+
         total = sum(phases.values())
         build_tput = round(n_docs / phases["index_build"], 2)
         qps_warm = round(len(queries) / phases["bm25_batch_warm"], 2)

@@ -133,6 +133,21 @@ def decode_scoring_block(block: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return ids, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+def encode_positions(positions_concat: np.ndarray) -> bytes:
+    """VByte the concatenated per-posting position lists (the per-posting
+    slice lengths are the tfs, so no extra length array is needed —
+    positions count == tf, as in the reference's block postings,
+    org/terrier/structures/indexing/classical/BlockIndexer.java:84-99)."""
+    return vbyte_encode(np.asarray(positions_concat, dtype=np.uint64))
+
+
+def decode_positions(data: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """-> per-posting position arrays, split by tfs."""
+    total = int(np.asarray(tfs).sum())
+    flat = vbyte_decode(data, total).astype(np.int64)
+    return np.split(flat, np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1])
+
+
 def decode_posting_block(block: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode one posting block -> (docids int64 ascending, tfs int64)."""
     if not block:

@@ -82,6 +82,10 @@ class IndexConfig:
     # the Spark-native analog of the fork's docid-reordering experiments
     # (org/terrier/applications/InvertedIndexReordering.java:114-140).
     sort_docids_by: Optional[Sequence[str]] = None
+    # Store per-posting position arrays ("blocks",
+    # org/terrier/structures/indexing/classical/BlockIndexer.java:84-99):
+    # enables index-backed phrase/proximity at ~1-2 bytes/token extra.
+    positions: bool = False
 
 
 @dataclass(frozen=True)

@@ -189,9 +189,15 @@ def gate_index(spark: SparkSession, sf_dir: str) -> IndexStore:
         key.strip("/").replace("/", "_"),
     )
     marker = os.path.join(out, "manifest.json")
-    if not os.path.exists(marker):
+    rebuild = True
+    if os.path.exists(marker):
+        import json as _json
+
+        with open(marker) as fh:
+            rebuild = not _json.load(fh).get("positions", False)
+    if rebuild:
         corpus = load_documents_corpus(spark, sf_dir)
-        cfg = IndexConfig(pipeline=SQL_SAFE_PIPELINE)
+        cfg = IndexConfig(pipeline=SQL_SAFE_PIPELINE, positions=True)
         build_index(spark, corpus, out, cfg, bucket_span=1024)
     store = IndexStore(out)
     _INDEX_CACHE[key] = store
@@ -346,52 +352,24 @@ def _decode_docids(blocks: DataFrame) -> DataFrame:
     )
 
 
-def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, pos) with positions in the kept-term stream — the
-    posexplode route (BlockIndexer semantics)."""
-    corpus = load_documents_corpus(spark, sf_dir)
-    udf = terms_udf(SQL_SAFE_PIPELINE)
-    return (
-        corpus.select(
-            F.col("docno").cast("long").alias("doc_id"),
-            F.posexplode(udf(F.col("content"))).alias("pos", "term"),
-        )
-    )
-
-
 def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase: consecutive positions (PhraseIterablePosting.java:44)."""
-    pos = _positions(spark, sf_dir)
-    a = pos.filter(F.col("term") == PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("pa")
-    )
-    b = pos.filter(F.col("term") == PHRASE[1]).select(
-        "doc_id", F.col("pos").alias("pb")
-    )
-    return (
-        a.join(b, "doc_id")
-        .filter(F.col("pb") == F.col("pa") + 1)
-        .select("doc_id")
-        .distinct()
-    )
+    """Exact phrase from the POSITIONAL INDEX
+    (PhraseIterablePosting.java:44; positions stored per posting block)."""
+    from terrier_spark.query.positional import phrase_docs
+
+    store = gate_index(spark, sf_dir)
+    out = phrase_docs(spark, store, PHRASE)
+    return _docno_as_doc_id(out, store, spark).select("doc_id")
 
 
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered proximity within a window
+    """Unordered proximity within a window from the positional index
     (ProximityIterablePosting.java:45)."""
-    pos = _positions(spark, sf_dir)
-    a = pos.filter(F.col("term") == PHRASE[0]).select(
-        "doc_id", F.col("pos").alias("pa")
-    )
-    b = pos.filter(F.col("term") == PHRASE[1]).select(
-        "doc_id", F.col("pos").alias("pb")
-    )
-    return (
-        a.join(b, "doc_id")
-        .filter(F.abs(F.col("pb") - F.col("pa")) <= PROXIMITY_WINDOW)
-        .select("doc_id")
-        .distinct()
-    )
+    from terrier_spark.query.positional import proximity_docs
+
+    store = gate_index(spark, sf_dir)
+    out = proximity_docs(spark, store, PHRASE, PROXIMITY_WINDOW)
+    return _docno_as_doc_id(out, store, spark).select("doc_id")
 
 
 # --------------------------------------------------------------------------

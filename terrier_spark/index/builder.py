@@ -45,7 +45,8 @@ DEFAULT_BUCKET_SPAN = 1 << 16
 
 BLOCK_SCHEMA = (
     "term string, bucket long, block_id int, n int, first_docid long, "
-    "last_docid long, max_tf int, min_dl int, tf_sum long, block binary"
+    "last_docid long, max_tf int, min_dl int, tf_sum long, block binary, "
+    "pos binary"
 )
 
 
@@ -64,18 +65,29 @@ def terms_udf(cfg: PipelineConfig):
     return pandas_udf(run, ArrayType(StringType()))
 
 
-def _encode_group(cfg_block_size: int):
+def _encode_group(cfg_block_size: int, with_positions: bool = False):
+    from terrier_spark.compression.vbyte import encode_positions
+
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid")
         ids = pdf["docid"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["doclen"].to_numpy(np.int64)
+        pos_lists = (
+            pdf["positions"].tolist() if with_positions else None
+        )
         term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
         rows = []
         for b0 in range(0, ids.size, cfg_block_size):
             b1 = min(b0 + cfg_block_size, ids.size)
             blk_ids, blk_tfs, blk_dls = ids[b0:b1], tfs[b0:b1], dls[b0:b1]
+            pos_bytes = None
+            if pos_lists is not None:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pos_lists[b0:b1]]
+                )
+                pos_bytes = encode_positions(flat)
             rows.append(
                 (
                     term,
@@ -88,13 +100,14 @@ def _encode_group(cfg_block_size: int):
                     int(blk_dls.min()),
                     int(blk_tfs.sum()),
                     encode_scoring_block(blk_ids, blk_tfs, blk_dls),
+                    pos_bytes,
                 )
             )
         return pd.DataFrame(
             rows,
             columns=[
                 "term", "bucket", "block_id", "n", "first_docid",
-                "last_docid", "max_tf", "min_dl", "tf_sum", "block",
+                "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
             ],
         )
 
@@ -137,7 +150,8 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
 
     out_schema = (
         "docid long, docno string, repo string, path string, commit string, "
-        "lang string, sha256 string, doclen long, terms array<string>"
+        "lang string, sha256 string, doclen long, uterms array<string>, "
+        "upos array<array<int>>"
     )
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,6 +166,22 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
         for pdf in batches:
             contents = pdf["content"].fillna("")
             n = len(pdf)
+            doclens = np.empty(n, dtype=np.int64)
+            uterms_col, upos_col = [], []
+            for i, c in enumerate(contents):
+                terms = pipe.terms(c)
+                doclens[i] = len(terms)
+                # per-document map-side aggregation (the reference's
+                # DocumentPostingList, structures/indexing/
+                # DocumentPostingList.java:62-113): one (term ->
+                # positions-in-kept-stream) entry per unique term, so the
+                # shuffle carries one row per (doc, term) pair instead of
+                # one per token
+                posmap: dict[str, list[int]] = {}
+                for pos, t in enumerate(terms):
+                    posmap.setdefault(t, []).append(pos)
+                uterms_col.append(list(posmap.keys()))
+                upos_col.append(list(posmap.values()))
             out = pd.DataFrame(
                 {
                     "docid": np.arange(next_id, next_id + n, dtype=np.int64),
@@ -164,13 +194,14 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
                         hashlib.sha256(c.encode("utf-8")).hexdigest()
                         for c in contents
                     ],
-                    "terms": [pipe.terms(c) for c in contents],
+                    "doclen": doclens,
+                    "uterms": uterms_col,
+                    "upos": upos_col,
                 }
             )
-            out["doclen"] = out["terms"].map(len).astype(np.int64)
             next_id += n
             yield out[["docid", "docno", "repo", "path", "commit", "lang",
-                       "sha256", "doclen", "terms"]]
+                       "sha256", "doclen", "uterms", "upos"]]
         if next_id - start_id != expected:
             raise RuntimeError(
                 f"partition {pid}: saw {next_id - start_id} rows, count "
@@ -181,15 +212,27 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
     return corpus.mapInPandas(fused, schema=out_schema)
 
 
-def posting_rows(doc_terms: DataFrame) -> DataFrame:
-    """(docid, doclen, terms) -> one row per (term, docid) with tf.
-    doclen rides along (functionally dependent on docid) so block encoding
-    never needs a docs-table join."""
-    return (
-        doc_terms.select("docid", "doclen", F.explode("terms").alias("term"))
-        .groupBy("term", "docid", "doclen")
-        .agg(F.count("*").cast("int").alias("tf"))
+def posting_rows(doc_terms: DataFrame,
+                 with_positions: bool = False) -> DataFrame:
+    """(docid, doclen, uterms, upos) -> one row per (term, docid) with tf
+    (and the position list when requested).  No aggregation needed: the
+    fused pass already did the per-document combine, so this is a pure
+    JVM explode of pre-aggregated pairs.  doclen rides along
+    (functionally dependent on docid) so block encoding never needs a
+    docs-table join."""
+    z = doc_terms.select(
+        "docid", "doclen",
+        F.explode(F.arrays_zip("uterms", "upos")).alias("z"),
     )
+    out = z.select(
+        "docid", "doclen",
+        F.col("z.uterms").alias("term"),
+        F.size("z.upos").cast("int").alias("tf"),
+        F.col("z.upos").alias("positions"),
+    )
+    if not with_positions:
+        out = out.drop("positions")
+    return out
 
 
 def build_index(
@@ -223,11 +266,12 @@ def build_index(
     meta.write.mode("overwrite").parquet(f"{out_dir}/meta")
 
     # --- postings ---------------------------------------------------------
-    postings = posting_rows(doc_terms).withColumn(
+    postings = posting_rows(doc_terms, with_positions=cfg.positions).withColumn(
         "bucket", (F.col("docid") / F.lit(bucket_span)).cast("long")
     )
     blocks = postings.groupBy("term", "bucket").applyInPandas(
-        _encode_group(cfg.block_size), schema=BLOCK_SCHEMA
+        _encode_group(cfg.block_size, with_positions=cfg.positions),
+        schema=BLOCK_SCHEMA,
     )
     # sort by term so parquet row-group min/max stats prune term lookups
     (
@@ -287,6 +331,7 @@ def build_index(
         "layout": "monolithic",
         "bucket_span": bucket_span,
         "block_size": cfg.block_size,
+        "positions": cfg.positions,
         "pipeline": asdict(cfg.pipeline) | {
             "stopwords": sorted(cfg.pipeline.stopwords or ())
         },

@@ -43,6 +43,8 @@ def _rebase_blocks(offset: int, span: int):
                         row.term, int(ids[0] // span), row.block_id, row.n,
                         int(ids[0]), int(ids[-1]), row.max_tf, row.min_dl,
                         row.tf_sum, encode_scoring_block(ids, tfs, dls),
+                        # positions are docid-independent: pass through
+                        getattr(row, "pos", None),
                     )
                 )
             if rows:
@@ -50,7 +52,7 @@ def _rebase_blocks(offset: int, span: int):
                     rows,
                     columns=["term", "bucket", "block_id", "n",
                              "first_docid", "last_docid", "max_tf",
-                             "min_dl", "tf_sum", "block"],
+                             "min_dl", "tf_sum", "block", "pos"],
                 )
 
     return run
@@ -84,7 +86,8 @@ def merge_indexes(spark: SparkSession, a: IndexStore, b: IndexStore,
     # postings: a verbatim, b re-based
     schema = (
         "term string, bucket long, block_id int, n int, first_docid long, "
-        "last_docid long, max_tf int, min_dl int, tf_sum long, block binary"
+        "last_docid long, max_tf int, min_dl int, tf_sum long, block binary, "
+        "pos binary"
     )
     blocks_a = a.postings(spark)
     blocks_b = b.postings(spark).mapInPandas(
@@ -125,6 +128,8 @@ def merge_indexes(spark: SparkSession, a: IndexStore, b: IndexStore,
         "layout": "monolithic",
         "bucket_span": span_a,
         "block_size": a.manifest["block_size"],
+        "positions": bool(a.manifest.get("positions"))
+        and bool(b.manifest.get("positions")),
         "pipeline": a.manifest["pipeline"],
         "stats": {
             "num_docs": num_docs,

@@ -97,6 +97,7 @@ def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
         ("first_docid", pa.int64()), ("last_docid", pa.int64()),
         ("max_tf", pa.int32()), ("min_dl", pa.int32()),
         ("tf_sum", pa.int64()), ("block", pa.binary()),
+        ("pos", pa.binary()),
     ])
     pq.write_table(
         pa.Table.from_pandas(blocks, schema=schema, preserve_index=False),
@@ -109,14 +110,25 @@ def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
     os.replace(tmp, seg_dir)
 
 
-def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
+def _build_partition(pdfs, offset: int, cfg: IndexConfig,
                      bucket_span: int) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, str]:
-    """Tokenize + index one partition's rows (local; arrays vectorized)."""
+    """Tokenize + index one partition's rows.
+
+    Streams the batch iterator (never materializes the partition) and
+    accumulates postings in compact typed arrays per term — the memory
+    footprint is ~16 bytes/posting + 4 bytes/position, NOT Python tuple
+    objects, so 32 concurrent quarter-million-doc tasks fit comfortably
+    (the reference's MemoryPostings plays the same role with int[] runs,
+    structures/indexing/singlepass/MemoryPostings.java:44-155)."""
+    from array import array
+
     pipe = make_pipeline(cfg.pipeline)
     doc_rows, meta_rows = [], []
-    postings: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+    # term -> [docids('q'), tfs('i'), dls('i'), flat positions('i')]
+    acc: dict[str, list] = {}
     docid = offset
     sha_acc = hashlib.sha256()
+    want_pos = cfg.positions
     for pdf in pdfs:
         for row in pdf.itertuples():
             content = row.content or ""
@@ -129,11 +141,19 @@ def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
                 (docid, row.docno, row.repo, row.path, row.commit,
                  row.lang, sha, dl)
             )
-            bucket = docid // bucket_span
-            for term, tf in Counter(terms).items():
-                postings.setdefault((term, bucket), []).append(
-                    (docid, tf, dl)
-                )
+            posmap: dict[str, list[int]] = {}
+            for pos, t in enumerate(terms):
+                posmap.setdefault(t, []).append(pos)
+            for term, plist in posmap.items():
+                a = acc.get(term)
+                if a is None:
+                    a = acc[term] = [array("q"), array("i"), array("i"),
+                                     array("i")]
+                a[0].append(docid)
+                a[1].append(len(plist))
+                a[2].append(dl)
+                if want_pos:
+                    a[3].extend(plist)
             docid += 1
     docs = pd.DataFrame(doc_rows, columns=["docid", "docno", "doclen"])
     meta = pd.DataFrame(
@@ -141,26 +161,49 @@ def _build_partition(pdfs: list[pd.DataFrame], offset: int, cfg: IndexConfig,
         columns=["docid", "docno", "repo", "path", "commit", "lang",
                  "sha256", "doclen"],
     )
+    from terrier_spark.compression.vbyte import encode_positions
+
     block_rows = []
-    for (term, bucket), plist in sorted(postings.items()):
-        ids = np.array([p[0] for p in plist], dtype=np.int64)
-        tfs = np.array([p[1] for p in plist], dtype=np.int64)
-        dls = np.array([p[2] for p in plist], dtype=np.int64)
-        for b0 in range(0, ids.size, cfg.block_size):
-            b1 = min(b0 + cfg.block_size, ids.size)
-            block_rows.append(
-                (
-                    term, bucket, b0 // cfg.block_size, b1 - b0,
-                    int(ids[b0]), int(ids[b1 - 1]),
-                    int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
-                    int(tfs[b0:b1].sum()),
-                    encode_scoring_block(ids[b0:b1], tfs[b0:b1], dls[b0:b1]),
+    for term in sorted(acc):
+        a = acc[term]
+        ids = np.frombuffer(a[0], dtype=np.int64)
+        tfs = np.frombuffer(a[1], dtype=np.int32).astype(np.int64)
+        dls = np.frombuffer(a[2], dtype=np.int32).astype(np.int64)
+        pos_flat = (
+            np.frombuffer(a[3], dtype=np.int32).astype(np.int64)
+            if want_pos else None
+        )
+        pos_offsets = np.concatenate(([0], np.cumsum(tfs))) if want_pos else None
+        buckets = ids // bucket_span
+        # split at bucket boundaries (ids ascending within a partition),
+        # then into block_size chunks within each bucket
+        b_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(buckets)) + 1, [ids.size])
+        )
+        for s, e in zip(b_starts[:-1], b_starts[1:]):
+            bucket = int(buckets[s])
+            for b0 in range(s, e, cfg.block_size):
+                b1 = min(b0 + cfg.block_size, e)
+                pos_bytes = None
+                if want_pos:
+                    pos_bytes = encode_positions(
+                        pos_flat[pos_offsets[b0]: pos_offsets[b1]]
+                    )
+                block_rows.append(
+                    (
+                        term, bucket, (b0 - s) // cfg.block_size, b1 - b0,
+                        int(ids[b0]), int(ids[b1 - 1]),
+                        int(tfs[b0:b1].max()), int(dls[b0:b1].min()),
+                        int(tfs[b0:b1].sum()),
+                        encode_scoring_block(ids[b0:b1], tfs[b0:b1],
+                                             dls[b0:b1]),
+                        pos_bytes,
+                    )
                 )
-            )
     blocks = pd.DataFrame(
         block_rows,
         columns=["term", "bucket", "block_id", "n", "first_docid",
-                 "last_docid", "max_tf", "min_dl", "tf_sum", "block"],
+                 "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos"],
     )
     return docs, meta, blocks, sha_acc.hexdigest()
 
@@ -215,9 +258,8 @@ def build_index_resumable(
             return
         if pid in fail:
             raise RuntimeError(f"injected failure in partition {pid}")
-        pdfs = list(batches)
         docs, meta, blocks, sha_agg = _build_partition(
-            pdfs, offset, block_cfg, bucket_span
+            batches, offset, block_cfg, bucket_span
         )
         if len(docs) != n:
             raise RuntimeError(
@@ -299,6 +341,7 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
         "layout": "segmented",
         "bucket_span": bucket_span,
         "block_size": cfg.block_size,
+        "positions": cfg.positions,
         "pipeline": asdict(cfg.pipeline) | {
             "stopwords": sorted(cfg.pipeline.stopwords or ())
         },
@@ -325,6 +368,11 @@ def compact_postings(spark: SparkSession, store: IndexStore,
 
     cfg = cfg or IndexConfig()
     out_dir = store.path
+    if store.manifest.get("positions"):
+        raise NotImplementedError(
+            "compaction of positional postings not implemented yet; "
+            "rebuild with positions=False or skip compaction"
+        )
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,73 @@
+"""Structured query parser.
+
+Covers the operator surface of the reference's ANTLR grammar
+(org/terrier/querying/parser/terrier.g:44-190) that the engine executes:
+
+    term            bag-of-words scoring term
+    term^2.5        per-term weight boost
+    +term           required (must appear; semi-join on docids —
+                    matching/tsms/RequiredTermModifier.java)
+    -term           negative (must NOT appear; scored -inf then dropped in
+                    the reference, querying/Manager.java:800-805,836-848 —
+                    an anti-join here, same result set)
+    "a b c"         exact phrase constraint (terms also score;
+                    matching/dsms/PhraseScoreModifier.java:58)
+    "a b"~3         proximity window constraint
+    field:term      field restriction — NOT supported (the index stores no
+                    per-field tfs); parsing raises so the limitation is
+                    loud, not silent
+
+All parsed tokens run through the SAME term pipeline as indexing before
+matching (Manager.java:675-679); a pipeline-dropped token drops its
+modifier with it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+_PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
+_TOKEN_RE = re.compile(r'([+-]?)([^\s^]+)(?:\^(\d+(?:\.\d+)?))?')
+
+
+@dataclass
+class ParsedQuery:
+    # (raw_term, weight) — scoring terms (includes phrase members)
+    terms: List[Tuple[str, float]] = field(default_factory=list)
+    required: List[str] = field(default_factory=list)
+    negative: List[str] = field(default_factory=list)
+    # (terms, window): window None -> exact phrase (consecutive)
+    phrases: List[Tuple[List[str], int | None]] = field(default_factory=list)
+
+
+def parse_query(text: str) -> ParsedQuery:
+    out = ParsedQuery()
+
+    def eat_phrase(m: re.Match) -> str:
+        words = m.group(1).split()
+        window = int(m.group(2)) if m.group(2) else None
+        if words:
+            out.phrases.append((words, window))
+            for w in words:
+                out.terms.append((w, 1.0))
+        return " "
+
+    rest = _PHRASE_RE.sub(eat_phrase, text)
+    for m in _TOKEN_RE.finditer(rest):
+        prefix, tok, boost = m.group(1), m.group(2), m.group(3)
+        if ":" in tok:
+            raise ValueError(
+                f"field restriction {tok!r} is not supported (no per-field "
+                "posting statistics in this index)"
+            )
+        weight = float(boost) if boost else 1.0
+        if prefix == "-":
+            out.negative.append(tok)
+        elif prefix == "+":
+            out.required.append(tok)
+            out.terms.append((tok, weight))
+        else:
+            out.terms.append((tok, weight))
+    return out

@@ -1,0 +1,123 @@
+"""Structured retrieval: scoring + required/negative/phrase constraints.
+
+Execution plan per batch:
+
+    scored  = model scoring of all positive terms (search plan)
+    keep    = semi-join on docids holding ALL +terms        [+term]
+    drop    = anti-join on docids holding any -term         [-term]
+    phrase  = semi-join on positional phrase/proximity hits ["..."]
+    top-k after all constraints (the reference applies modifiers before
+    the final sort, matching/dsms/*, querying/Manager.java:800-848)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terrier_spark.compression.vbyte import decode_scoring_block
+from terrier_spark.config import QueryConfig
+from terrier_spark.index.store import IndexStore
+from terrier_spark.query.parser import ParsedQuery, parse_query
+from terrier_spark.query.search import _topk, search_terms
+from terrier_spark.text.pipeline import make_pipeline
+
+
+def _docids_with_terms(spark: SparkSession, store: IndexStore,
+                       pairs: pd.DataFrame) -> DataFrame:
+    """pairs (qid, term) -> (qid, term, docid) decoded from postings."""
+    terms = sorted(set(pairs["term"]))
+    blocks = store.postings(spark).filter(F.col("term").isin(terms))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, _, _ = decode_scoring_block(row.block)
+                outs.append(pd.DataFrame({"term": row.term, "docid": ids}))
+            if outs:
+                yield pd.concat(outs)
+
+    hits = blocks.select("term", "block").mapInPandas(
+        decode, schema="term string, docid long"
+    )
+    qp = spark.createDataFrame(pairs[["qid", "term"]])
+    return hits.join(F.broadcast(qp), "term").select("qid", "term", "docid")
+
+
+def search_structured(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: Sequence[Tuple[str, str]],
+    qcfg: Optional[QueryConfig] = None,
+) -> DataFrame:
+    """Batch structured retrieval -> (qid, rank, docid, score)."""
+    qcfg = qcfg or QueryConfig()
+    pipe = make_pipeline(store.pipeline_config())
+
+    qterm_rows, req_rows, neg_rows = [], [], []
+    phrase_jobs: List[Tuple[str, List[str], int | None]] = []
+    for qid, text in queries:
+        parsed = parse_query(text)
+        weights: dict[str, float] = {}
+        for raw, w in parsed.terms:
+            for t in pipe.terms(raw):
+                weights[t] = weights.get(t, 0.0) + w
+        for t, w in weights.items():
+            qterm_rows.append((str(qid), t, w))
+        for raw in parsed.required:
+            for t in pipe.terms(raw):
+                req_rows.append((str(qid), t))
+        for raw in parsed.negative:
+            for t in pipe.terms(raw):
+                neg_rows.append((str(qid), t))
+        for words, window in parsed.phrases:
+            terms = [t for w in words for t in pipe.terms(w)]
+            if len(terms) >= 2:
+                phrase_jobs.append((str(qid), terms, window))
+
+    from dataclasses import replace
+
+    qterms = pd.DataFrame(qterm_rows, columns=["qid", "term", "qtf"])
+    # score WITHOUT the top-k cut: constraints must apply first
+    scored = search_terms(
+        spark, store, qterms, replace(qcfg, k=1 << 31)
+    ).select("qid", "docid", "score")
+
+    if req_rows:
+        req = pd.DataFrame(req_rows, columns=["qid", "term"])
+        n_req = req.groupby("qid")["term"].nunique().reset_index(name="n_req")
+        hits = _docids_with_terms(spark, store, req)
+        ok = (
+            hits.groupBy("qid", "docid")
+            .agg(F.count_distinct("term").alias("n_hit"))
+            .join(
+                F.broadcast(spark.createDataFrame(n_req)), "qid"
+            )
+            .filter(F.col("n_hit") == F.col("n_req"))
+            .select("qid", "docid")
+        )
+        scored = scored.join(ok, ["qid", "docid"], "left_semi")
+
+    if neg_rows:
+        neg = pd.DataFrame(neg_rows, columns=["qid", "term"])
+        bad = _docids_with_terms(spark, store, neg).select("qid", "docid")
+        scored = scored.join(bad, ["qid", "docid"], "left_anti")
+
+    for qid, terms, window in phrase_jobs:
+        from terrier_spark.query.positional import phrase_docs, proximity_docs
+
+        if window is None:
+            hit = phrase_docs(spark, store, terms)
+        else:
+            hit = proximity_docs(spark, store, terms, window)
+        constrained = scored.filter(F.col("qid") == qid).join(
+            hit.select("docid"), "docid", "left_semi"
+        )
+        scored = constrained.unionByName(scored.filter(F.col("qid") != qid))
+
+    return _topk(scored, qcfg.k).select("qid", "rank", "docid", "score")

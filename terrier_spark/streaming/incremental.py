@@ -117,7 +117,7 @@ class IncrementalIndexer:
                 )
                 return
             docs, meta, blocks, sha = _build_partition(
-                list(batches), offset, cfg, span
+                batches, offset, cfg, span
             )
             if len(docs) != n:
                 raise RuntimeError(

@@ -103,6 +103,11 @@ class QueryConfig:
     # Block-max WAND-style pruning on/off; results must be identical either
     # way (bound-safe pruning).
     prune: bool = True
+    # Pruning pays only when there are enough candidate postings to skip:
+    # below this total (sum of query-term document frequencies) the
+    # two-pass bound computation costs more than the decode it avoids, so
+    # search falls back to the exhaustive plan.
+    prune_min_postings: int = 100_000
 
 
 def with_pipeline(cfg: IndexConfig, pipeline: PipelineConfig) -> IndexConfig:

@@ -309,6 +309,58 @@ def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch under DirichletLM (matching/models/DirichletLM.java,
+    mu=2500, no qtf multiplier — reference quirk)."""
+    from terrier_spark.config import QueryConfig
+
+    store = gate_index(spark, sf_dir)
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True,
+                       model="DirichletLM")
+    res = search(spark, store, queries, qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+# structured gate query: score {fast, merge, scan}, require 'merge',
+# exclude docs containing 'window'
+STRUCTURED_QUERY = "fast +merge -window scan"
+STRUCTURED_SCORE_TERMS = ["fast", "merge", "scan"]
+STRUCTURED_REQUIRED = "merge"
+STRUCTURED_NEGATIVE = "window"
+
+
+def q_structured_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required/negative-term retrieval through the structured path
+    (RequiredTermModifier / negative-term semantics,
+    querying/Manager.java:800-848)."""
+    from terrier_spark.config import QueryConfig
+    from terrier_spark.query.structured import search_structured
+
+    store = gate_index(spark, sf_dir)
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False)
+    res = search_structured(spark, store, [("q1", STRUCTURED_QUERY)], qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
 def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docid intersection of posting lists (ANDIterablePosting.java:40-152
     as a group-having plan)."""
@@ -423,9 +475,109 @@ QUALIFY rank < {k}
 """
 
 
+def _dirichlet_sql(k: int = GATE_K) -> str:
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM toks)::DOUBLE AS t
+),
+ctf AS (
+  SELECT term, COUNT(*)::DOUBLE AS f FROM toks GROUP BY term
+),
+q(qid, term) AS (VALUES {_query_values()}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(
+           log2(1.0 + tf.tf / (2500.0 * (ctf.f / consts.t)))
+           + log2(2500.0 / (dl.dl + 2500.0))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ctf ON ctf.term = q.term
+  CROSS JOIN consts
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored
+QUALIFY rank < {k}
+"""
+
+
+def _structured_sql(k: int = GATE_K) -> str:
+    terms_vals = ", ".join(
+        f"('q1', '{t}')" for t in STRUCTURED_SCORE_TERMS
+    )
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+),
+ntt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM toks GROUP BY term
+),
+q(qid, term) AS (VALUES {terms_vals}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(
+           tf.tf * (8.0 + 1.0) * 1.0
+           / ((8.0 + 1.0)
+              * (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / consts.avgdl) + tf.tf))
+           * log2((consts.n - ntt.nt + 0.5) / (ntt.nt + 0.5))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = q.term
+  CROSS JOIN consts
+  GROUP BY q.qid, tf.doc_id
+),
+constrained AS (
+  SELECT s.* FROM scored s
+  WHERE EXISTS (SELECT 1 FROM tf
+                WHERE tf.doc_id = s.doc_id
+                  AND tf.term = '{STRUCTURED_REQUIRED}')
+    AND NOT EXISTS (SELECT 1 FROM tf
+                    WHERE tf.doc_id = s.doc_id
+                      AND tf.term = '{STRUCTURED_NEGATIVE}')
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM constrained
+QUALIFY rank < {k}
+"""
+
+
 IR_QUERIES = {
     "lexicon": q_lexicon,
     "tf_idf_topk": q_tf_idf_topk,
+    "dirichlet_topk": q_dirichlet_topk,
+    "structured_topk": q_structured_topk,
     "doc_lengths": q_doc_lengths,
     "collection_stats": q_collection_stats,
     "postings": q_postings,
@@ -467,6 +619,8 @@ GROUP BY term, doc_id
 """,
     "bm25_topk": _bm25_sql(),
     "tf_idf_topk": _tf_idf_sql(),
+    "dirichlet_topk": _dirichlet_sql(),
+    "structured_topk": _structured_sql(),
     "boolean_and": f"""
 WITH {TOKS_CTE}
 SELECT doc_id FROM toks WHERE term IN ({_TERMS_IN})

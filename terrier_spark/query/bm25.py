@@ -74,23 +74,7 @@ def bm25_col(tf: Column, dl: Column, nt: Column, qtf: Column, N: int,
     return (tfd * F.lit(cfg.k3 + 1.0) * qtfd / ((F.lit(cfg.k3) + qtfd) * K)) * idf
 
 
-# Registry of weighting models (the reference's WeightingModelFactory
-# surface, org/terrier/matching/models/WeightingModelFactory.java).  Each
-# entry: name -> numpy kernel with the bm25_partial_np signature.  TF_IDF
-# and DirichletLM re-expressed from their reference formulas:
-#   TF_IDF (models/TF_IDF.java): Robertson tf * idf,
-#       k1*tf/(tf + k1*(1-b+b*dl/avgdl)) * log2(1 + (N-nt+0.5)/(nt+0.5))
-#   DirichletLM (models/DirichletLM.java): log2(1 + tf/(mu*F/numTokens)) +
-#       log2(mu/(dl+mu)) scaled by qtf.
-
-def _tf_idf_np(tf, dl, qtf, idf_unused, N, avgdl, nt=None, cfg=None, k1=1.2, b=0.75):
-    tf = np.asarray(tf, np.float64)
-    dl = np.asarray(dl, np.float64)
-    Robertson = k1 * tf / (tf + k1 * (1 - b + b * dl / avgdl))
-    idf = np.log2(1.0 + (N - np.asarray(nt, np.float64) + 0.5) / (np.asarray(nt, np.float64) + 0.5))
-    return np.asarray(qtf, np.float64) * Robertson * idf
-
-
-MODELS: Dict[str, Callable] = {
-    "BM25": bm25_partial_np,
-}
+# NOTE: the general weighting-model registry (the reference's
+# WeightingModelFactory surface) lives in terrier_spark/query/models.py;
+# this module keeps only the BM25 contract kernels used by the oracle
+# comparisons and the Column-expression form.

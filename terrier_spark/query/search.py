@@ -181,7 +181,12 @@ def search_terms(
     )
     joined = blocks.join(F.broadcast(qs_df), "term")
 
-    if qcfg.prune and get_model(qcfg.model).prunable:
+    total_postings = int(qstats["nt"].sum())
+    if (
+        qcfg.prune
+        and get_model(qcfg.model).prunable
+        and total_postings >= qcfg.prune_min_postings
+    ):
         joined = _prune_buckets(spark, joined, qcfg, N, avgdl, T)
 
     decoded = joined.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(

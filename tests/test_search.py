@@ -81,7 +81,7 @@ def test_rank_identity_pruned(spark, engine):
     store, oracle = engine
     queries = make_queries(oracle)
     run_and_compare(spark, store, oracle, queries,
-                    QueryConfig(k=50, prune=True, ignore_low_idf=False))
+                    QueryConfig(k=50, prune=True, prune_min_postings=0, ignore_low_idf=False))
 
 
 def test_rank_identity_synth_corpus(spark, tmp_path):
@@ -107,7 +107,7 @@ def test_pruned_equals_unpruned(spark, engine):
     store, oracle = engine
     queries = make_queries(oracle, n_per_bucket=2, seed=7)
     a = (
-        search(spark, store, queries, QueryConfig(k=20, prune=True))
+        search(spark, store, queries, QueryConfig(k=20, prune=True, prune_min_postings=0))
         .orderBy("qid", "rank").toPandas()
     )
     b = (

@@ -1,0 +1,168 @@
+"""Command-line entry point — the TrecTerrier application surface
+(org/terrier/applications/TrecTerrier.java: -i index, -r retrieve,
+-e evaluate; plus merge/compact) as spark-submit-friendly subcommands:
+
+    spark-submit --py-files terrier_spark.zip -m ... OR
+    python -m terrier_spark index   --input docs.parquet --out /idx
+    python -m terrier_spark search  --index /idx --queries topics.txt \\
+                                    --k 10 [--model BM25] [--expand]
+    python -m terrier_spark merge   --a /idx1 --b /idx2 --out /merged
+    python -m terrier_spark compact --index /idx
+    python -m terrier_spark eval    --run run.txt --qrels qrels.txt
+
+Query file format: SingleLineTRECQuery (`qid term term ...`,
+applications/batchquerying/SingleLineTRECQuery.java:93-156).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from terrier_spark.session import get_spark
+
+    return get_spark("terrier-spark-cli")
+
+
+def cmd_index(args) -> None:
+    from terrier_spark.config import IndexConfig, PipelineConfig
+    from terrier_spark.index.builder import build_index
+    from terrier_spark.index.corpus import (
+        from_documents_table,
+        from_source_code_table,
+    )
+    from terrier_spark.index.resumable import build_index_resumable
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    if "content" in df.columns:
+        corpus = from_source_code_table(df)
+    else:
+        corpus = from_documents_table(df)
+    cfg = IndexConfig(
+        pipeline=PipelineConfig(stem=not args.no_stem),
+        positions=args.positions,
+    )
+    builder = build_index_resumable if args.resumable else build_index
+    store = builder(spark, corpus, args.out, cfg)
+    print(json.dumps(store.manifest["metrics"]))
+
+
+def cmd_search(args) -> None:
+    from terrier_spark.config import QueryConfig
+    from terrier_spark.index.store import IndexStore
+    from terrier_spark.query.evaluation import to_trec_run
+    from terrier_spark.query.expansion import search_with_expansion
+    from terrier_spark.query.search import search
+    from terrier_spark.query.structured import search_structured
+
+    spark = _spark()
+    store = IndexStore(args.index)
+    queries = []
+    with open(args.queries) as fh:
+        for line in fh:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                queries.append((parts[0], parts[1]))
+    qcfg = QueryConfig(k=args.k, model=args.model,
+                       ignore_low_idf=not args.keep_low_idf)
+    if args.expand:
+        res = search_with_expansion(spark, store, queries, qcfg)
+    elif args.structured:
+        res = search_structured(spark, store, queries, qcfg)
+    else:
+        res = search(spark, store, queries, qcfg, with_meta=True)
+    if "docno" not in res.columns:
+        res = res.join(
+            store.meta(spark).select("docid", "docno"), "docid"
+        )
+    for row in to_trec_run(res, tag=args.tag).collect():
+        print(row["line"])
+
+
+def cmd_merge(args) -> None:
+    from terrier_spark.index.merge import merge_indexes
+    from terrier_spark.index.store import IndexStore
+
+    spark = _spark()
+    merged = merge_indexes(
+        spark, IndexStore(args.a), IndexStore(args.b), args.out
+    )
+    print(json.dumps(merged.stats))
+
+
+def cmd_compact(args) -> None:
+    from terrier_spark.index.resumable import compact_postings
+    from terrier_spark.index.store import IndexStore
+
+    spark = _spark()
+    store = compact_postings(spark, IndexStore(args.index))
+    print(json.dumps({"layout": store.layout}))
+
+
+def cmd_eval(args) -> None:
+    import pandas as pd
+
+    from terrier_spark.query.evaluation import evaluate_run, parse_qrels
+
+    rows = []
+    with open(args.run) as fh:
+        for line in fh:
+            p = line.split()
+            if len(p) >= 5:
+                rows.append((p[0], p[2], int(p[3])))
+    results = pd.DataFrame(rows, columns=["qid", "docno", "rank"])
+    with open(args.qrels) as fh:
+        qrels = parse_qrels(fh)
+    out = evaluate_run(results, qrels)
+    out.pop("AP_per_query", None)
+    print(json.dumps(out, indent=2))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="terrier_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--resumable", action="store_true")
+    p.add_argument("--positions", action="store_true")
+    p.add_argument("--no-stem", action="store_true")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search")
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--k", type=int, default=1000)
+    p.add_argument("--model", default="BM25")
+    p.add_argument("--tag", default="terrier_spark")
+    p.add_argument("--expand", action="store_true")
+    p.add_argument("--structured", action="store_true")
+    p.add_argument("--keep-low-idf", action="store_true")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("merge")
+    p.add_argument("--a", required=True)
+    p.add_argument("--b", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--index", required=True)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--run", required=True)
+    p.add_argument("--qrels", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,64 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    n_planes: int = 12,
+    bands: int = 6,
+    seed: int = 13,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Scale path: random-hyperplane LSH band buckets generate candidates
+    (bucket join), exact cosine verifies — with enough bands recall at
+    high thresholds is ~1 (two vectors at cosine 0.9 disagree on a
+    hyperplane with p = acos(0.9)/pi ≈ 0.14; P(no shared band) =
+    (1-(1-p)^2)^6 ≈ 2e-4).  use_lsh=False does the exact O(N^2)
+    self-join (the oracle path for small N)."""
+    if use_lsh:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        sigs = lsh_signatures(emb, dim, n_planes, seed, id_col, vec_col)
+        width = n_planes // bands
+        banded = sigs.select(
+            "id", "vec",
+            F.explode(F.array(*[
+                F.concat(F.lit(f"{i}:"),
+                         F.substring("sig", i * width + 1, width))
+                for i in range(bands)
+            ])).alias("band_key"),
+        )
+        cands = (
+            banded.alias("x").join(banded.alias("y"), "band_key")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"), F.col("x.vec").alias("va"),
+                F.col("y.id").alias("id_b"), F.col("y.vec").alias("vb"),
+            )
+            .distinct()
+        )
+    else:
+        lhs = emb.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("va"))
+        rhs = emb.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb"))
+        cands = lhs.crossJoin(rhs).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
     rng = random.Random(seed)
     return [

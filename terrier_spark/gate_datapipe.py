@@ -110,6 +110,43 @@ def q_lsh_cosine_topk(spark, sf_dir):
     )
 
 
+NEAR_DUP_COSINE = 0.4
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline path (the LSH
+    variant is recall-tested in pytest; this testdata's vectors are
+    near-orthogonal so an exact gate needs the exhaustive join)."""
+    from terrier_spark.datapipe.simsearch import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=NEAR_DUP_COSINE, use_lsh=False
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 5).alias("cosine_r")
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+comps AS (
+  SELECT id_a, id_b, unnest(va)::DOUBLE AS x, unnest(vb)::DOUBLE AS y
+  FROM pairs
+),
+scored AS (
+  SELECT id_a, id_b,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+  FROM comps GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, CAST(round(cosine, 5) AS DOUBLE) AS cosine_r
+FROM scored WHERE cosine >= {NEAR_DUP_COSINE}
+"""
+
+
 def q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
@@ -331,6 +368,7 @@ DATAPIPE_QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
@@ -345,6 +383,7 @@ DATAPIPE_ORACLE_SQL = {
     "minhash_sigs": _minhash_sql(),
     "simhash": _simhash_sql(),
     "cosine_topk": _COSINE_SQL,
+    "embedding_near_dup": _NEAR_DUP_SQL,
     "token_counts": _TOKEN_COUNTS_SQL,
     "quality_scores": _QUALITY_SQL,
     "language_id": _lang_sql(),

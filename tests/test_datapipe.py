@@ -138,6 +138,29 @@ def test_cosine_topk_matches_numpy(spark, emb_df):
             assert gc == pytest.approx(ec, abs=1e-9)
 
 
+def test_embedding_near_dup_exact_vs_lsh(spark, emb_df):
+    from terrier_spark.datapipe.simsearch import embedding_near_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb_df, threshold=0.35,
+                                          use_lsh=False).collect()
+    }
+    assert exact, "threshold too high for this data"
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb_df, threshold=0.35,
+                                          use_lsh=True, n_planes=12,
+                                          bands=6).collect()
+    }
+    # LSH output is a subset of exact pairs with identical cosines
+    assert set(approx) <= set(exact)
+    for k in approx:
+        assert approx[k] == pytest.approx(exact[k], abs=1e-9)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.3, f"LSH near-dup recall too low: {recall}"
+
+
 def test_lsh_recall_reasonable(spark, emb_df):
     qids = [0, 1, 2, 3, 4]
     dim = len(emb_df.first()["embedding"])

@@ -183,9 +183,11 @@ def gate_index(spark: SparkSession, sf_dir: str) -> IndexStore:
     store = _INDEX_CACHE.get(key)
     if store is not None:
         return store
+    # format-versioned cache path: a stale index from an older block
+    # layout must never be reused across rounds
     out = os.path.join(
         tempfile.gettempdir(),
-        "terrier_spark_gate",
+        "terrier_spark_gate_v3",
         key.strip("/").replace("/", "_"),
     )
     marker = os.path.join(out, "manifest.json")

@@ -27,6 +27,10 @@ class IndexStore:
         self.path = path
         with open(os.path.join(path, "manifest.json")) as fh:
             self.manifest = json.load(fh)
+        # driver-side lexicon cache: repeated searches against the same
+        # store skip the lexicon-scan job (the reference keeps its lexicon
+        # memory-mapped for the same reason); only populated when small
+        self._lexicon_pdf = None
 
     @property
     def stats(self) -> dict:
@@ -60,6 +64,33 @@ class IndexStore:
 
     def lexicon(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(f"{self.path}/lexicon")
+
+    LEXICON_CACHE_MAX_TERMS = 200_000
+
+    def lexicon_lookup(self, spark: SparkSession, terms):
+        """Lexicon rows for `terms` as a pandas frame.  Small lexicons are
+        fetched once and served driver-side afterwards (no Spark job);
+        large ones fall back to a term-pruned parquet scan."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        cols = ["term", "nt", "tf", "max_tf", "min_dl"]
+        if self._lexicon_pdf is None and (
+            self.stats.get("num_terms", 1 << 60) <= self.LEXICON_CACHE_MAX_TERMS
+        ):
+            self._lexicon_pdf = (
+                self.lexicon(spark).select(*cols).toPandas()
+                .set_index("term", drop=False)
+            )
+        if self._lexicon_pdf is not None:
+            hit = self._lexicon_pdf[self._lexicon_pdf.index.isin(terms)]
+            return hit.reset_index(drop=True)
+        return (
+            self.lexicon(spark)
+            .filter(F.col("term").isin(list(terms)))
+            .select(*cols)
+            .toPandas()
+        )
 
     def postings(self, spark: SparkSession) -> DataFrame:
         if self.layout == "segmented_compacted":

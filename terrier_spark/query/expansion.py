@@ -154,11 +154,8 @@ def expand_queries(
     ]
 
     terms = sorted(set(agg["term"]))
-    lex = (
-        store.lexicon(spark)
-        .filter(F.col("term").isin(terms))
-        .select("term", F.col("tf").alias("tfc"))
-        .toPandas()
+    lex = store.lexicon_lookup(spark, terms)[["term", "tf"]].rename(
+        columns={"tf": "tfc"}
     )
     weights = bo1_weights(agg, lex, N, avgdl, T)
 

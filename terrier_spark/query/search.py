@@ -63,12 +63,7 @@ def _qterm_stats(spark: SparkSession, store: IndexStore, qterms: pd.DataFrame,
     terms = sorted(set(qterms["term"]))
     if not terms:
         return empty
-    lex = (
-        store.lexicon(spark)
-        .filter(F.col("term").isin(terms))
-        .select("term", "nt", F.col("tf").alias("tfc"), "max_tf", "min_dl")
-        .toPandas()
-    )
+    lex = store.lexicon_lookup(spark, terms).rename(columns={"tf": "tfc"})
     merged = qterms.merge(lex, on="term", how="inner")  # OOV terms drop out
     if qcfg.ignore_low_idf:
         # drop when collection frequency exceeds N

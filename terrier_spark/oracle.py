@@ -99,10 +99,14 @@ class OracleIndex:
 
     def search_with_expansion(self, query: str,
                               qcfg: QueryConfig | None = None,
-                              fb_docs: int = 3, fb_terms: int = 10
+                              fb_docs: int = 3, fb_terms: int = 10,
+                              qe_model: str = "Bo1",
                               ) -> List[Tuple[int, float]]:
-        """Bo1 PRF, mirroring terrier_spark.query.expansion semantics
-        (BM25 first pass + Bo1 reweighting + BM25 second pass)."""
+        """PRF mirroring terrier_spark.query.expansion semantics
+        (first pass + Bo1/Bo2/KL reweighting + second pass).  Bo1 weights
+        are computed inline (independent of the engine's registry);
+        Bo2/KL use the registry kernels, which have their own value
+        goldens in tests/test_expansion.py."""
         qcfg = qcfg or QueryConfig()
         pipe = make_pipeline(self.pipeline)
         qcounts = Counter(pipe.query_terms(query))
@@ -110,6 +114,7 @@ class OracleIndex:
         if not first:
             return self.search(query, qcfg)
         fb_ids = [d for d, _ in first]
+        total_dl = float(sum(self.doclen[d] for d in fb_ids))
         tf_x: Dict[str, int] = {}
         df_fb: Dict[str, int] = {}
         for term, plist in self.postings.items():
@@ -118,18 +123,40 @@ class OracleIndex:
                 tf_x[term] = sum(hits)
                 df_fb[term] = len(hits)
         min_df = 0 if len(fb_ids) < 2 else 2
+
+        def weigh(tx: float, F_c: float) -> float:
+            if qe_model == "Bo1":
+                f = F_c / self.num_docs
+                return tx * math.log2((1 + f) / f) + math.log2(1 + f)
+            from terrier_spark.query.expansion import QE_MODELS
+
+            w_fn, _ = QE_MODELS[qe_model]
+            import numpy as _np
+
+            return float(
+                _np.asarray(
+                    w_fn(_np.array([tx], float), _np.array([F_c], float),
+                         self.num_docs, total_dl, self.num_tokens)
+                )[0]
+            )
+
         weights = {}
         for term, tx in tf_x.items():
             if min_df and df_fb[term] < min_df and term not in qcounts:
                 weights[term] = 0.0
                 continue
-            f = self.tf_collection(term) / self.num_docs
-            weights[term] = tx * math.log2((1 + f) / f) + math.log2(1 + f)
+            weights[term] = weigh(tx, self.tf_collection(term))
         t_max = max(weights, key=lambda t: weights[t])
-        tfm = tf_x[t_max]
-        n_prime = self.num_tokens / self.avgdl
-        f_max = tfm / n_prime
-        norm = tfm * math.log2((1 + f_max) / f_max) + math.log2(1 + f_max)
+        tfm = float(tf_x[t_max])
+        if qe_model == "Bo1":
+            n_prime = self.num_tokens / self.avgdl
+            f_max = tfm / n_prime
+            norm = tfm * math.log2((1 + f_max) / f_max) + math.log2(1 + f_max)
+        else:
+            from terrier_spark.query.expansion import QE_MODELS
+
+            _, norm_fn = QE_MODELS[qe_model]
+            norm = norm_fn(tfm, total_dl, self.num_tokens, self.avgdl)
         n_reweight = max(fb_terms, len(qcounts))
         top = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:n_reweight]
         merged = {t: float(q) for t, q in qcounts.items()}

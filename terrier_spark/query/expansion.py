@@ -42,6 +42,55 @@ EXPANSION_TERMS = 10
 EXPANSION_MIN_DOCS = 2
 
 
+# ---------------------------------------------------------------------------
+# QE model registry (matching/models/queryexpansion/): each model maps
+# (tf_x = within-feedback frequency, F = collection frequency) plus the
+# statistics plumbing to a weight; parameter-free normalisers use the
+# max-weight term's tf_x (DFRBagExpansionTerms.assignWeights:256-318).
+#   n_prime = collectionLength/avgdl (Bo1.java:55-61 quirk)
+#   total_dl = sum of feedback doc lengths, T = collection token count
+# ---------------------------------------------------------------------------
+
+def _bo1_w(tfx, F, N, total_dl, T):
+    f = F / N
+    return tfx * np.log2((1.0 + f) / f) + np.log2(1.0 + f)
+
+
+def _bo1_norm(tf_max, total_dl, T, avgdl):
+    n_prime = T / avgdl
+    f = tf_max / n_prime
+    return tf_max * math.log2((1.0 + f) / f) + math.log2(1.0 + f)
+
+
+def _bo2_w(tfx, F, N, total_dl, T):
+    f = tfx * total_dl / T
+    return tfx * np.log2((1.0 + f) / f) + np.log2(1.0 + f)
+
+
+def _bo2_norm(tf_max, total_dl, T, avgdl):
+    f = tf_max * total_dl / T
+    return tf_max * math.log2((1.0 + f) / f) + math.log2(1.0 + f)
+
+
+def _kl_w(tfx, F, N, total_dl, T):
+    px = np.asarray(tfx, np.float64) / total_dl
+    pc = np.asarray(F, np.float64) / T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = px * np.log2(px / pc)
+    return np.where(px < pc, 0.0, w)
+
+
+def _kl_norm(tf_max, total_dl, T, avgdl):
+    return tf_max * math.log(T / total_dl) / (math.log(2.0) * total_dl)
+
+
+QE_MODELS = {
+    "Bo1": (_bo1_w, _bo1_norm),
+    "Bo2": (_bo2_w, _bo2_norm),
+    "KL": (_kl_w, _kl_norm),
+}
+
+
 def build_direct_index(spark: SparkSession, store: IndexStore) -> None:
     """Transpose the inverted postings into {path}/direct rows
     (docid, term, tf), range-partitioned by docid so feedback-doc
@@ -78,29 +127,31 @@ def direct_index(spark: SparkSession, store: IndexStore) -> DataFrame:
     return spark.read.parquet(f"{store.path}/direct")
 
 
-def bo1_weights(feedback: pd.DataFrame, lex: pd.DataFrame, N: int,
-                avgdl: float, T: int) -> pd.DataFrame:
-    """feedback: rows (qid, term, tf_x, n_fb_docs_with_term, n_fb_docs);
-    lex: (term, tfc).  -> (qid, term, w_norm) per reference semantics."""
+def qe_weights(feedback: pd.DataFrame, lex: pd.DataFrame, N: int,
+               avgdl: float, T: int, model: str = "Bo1") -> pd.DataFrame:
+    """feedback: rows (qid, term, tf_x, n_fb_docs_with_term, n_fb_docs,
+    total_dl); lex: (term, tfc).  -> (qid, term, w_norm) per reference
+    semantics for the chosen QE model."""
+    w_fn, norm_fn = QE_MODELS[model]
     fb = feedback.merge(lex, on="term")
-    f = fb["tfc"].to_numpy(np.float64) / N
-    tfx = fb["tf_x"].to_numpy(np.float64)
-    fb["w"] = tfx * np.log2((1.0 + f) / f) + np.log2(1.0 + f)
     out = []
     for qid, grp in fb.groupby("qid"):
         grp = grp.copy()
+        total_dl = float(grp["total_dl"].iloc[0])
+        grp["w"] = w_fn(
+            grp["tf_x"].to_numpy(np.float64),
+            grp["tfc"].to_numpy(np.float64), N, total_dl, T,
+        )
         n_fb = int(grp["n_fb_docs"].iloc[0])
         min_df = 0 if n_fb < EXPANSION_MIN_DOCS else EXPANSION_MIN_DOCS
         if min_df:
             keep = (grp["n_fb_docs_with_term"] >= min_df) | grp["is_original"]
             grp.loc[~keep, "w"] = 0.0
         # parameter-free normaliser from the max-weight term's tf_x
-        # (Bo1.parameterFreeNormaliser: tf_max plays both roles)
+        # (tf_max plays both the tf and F roles — reference quirk)
         imax = grp["w"].idxmax()
         tf_max = float(grp.loc[imax, "tf_x"])
-        n_prime = T / avgdl
-        f_max = tf_max / n_prime
-        norm = tf_max * math.log2((1.0 + f_max) / f_max) + math.log2(1.0 + f_max)
+        norm = norm_fn(tf_max, total_dl, T, avgdl)
         grp["w_norm"] = grp["w"] / norm if norm > 0 else 0.0
         out.append(grp[["qid", "term", "w_norm", "is_original"]])
     return (
@@ -110,6 +161,11 @@ def bo1_weights(feedback: pd.DataFrame, lex: pd.DataFrame, N: int,
     )
 
 
+# backward-compatible alias
+def bo1_weights(feedback, lex, N, avgdl, T):
+    return qe_weights(feedback, lex, N, avgdl, T, "Bo1")
+
+
 def expand_queries(
     spark: SparkSession,
     store: IndexStore,
@@ -117,9 +173,10 @@ def expand_queries(
     qcfg: Optional[QueryConfig] = None,
     fb_docs: int = EXPANSION_DOCS,
     fb_terms: int = EXPANSION_TERMS,
+    qe_model: str = "Bo1",
 ) -> pd.DataFrame:
-    """First-pass search -> Bo1 -> expanded weighted term frame
-    (qid, term, qtf float)."""
+    """First-pass search -> QE weighting (Bo1/Bo2/KL) -> expanded
+    weighted term frame (qid, term, qtf float)."""
     qcfg = qcfg or QueryConfig()
     stats = store.stats
     N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
@@ -148,6 +205,9 @@ def expand_queries(
     )
     n_fb = fb_sel.groupby("qid")["docid"].nunique().rename("n_fb_docs")
     agg = agg.merge(n_fb, on="qid")
+    # total feedback-set length per qid = sum of all tf in feedback docs
+    total_dl = fb.groupby("qid")["tf"].sum().rename("total_dl")
+    agg = agg.merge(total_dl, on="qid")
     orig_pairs = set(zip(orig["qid"], orig["term"]))
     agg["is_original"] = [
         (q, t) in orig_pairs for q, t in zip(agg["qid"], agg["term"])
@@ -157,7 +217,7 @@ def expand_queries(
     lex = store.lexicon_lookup(spark, terms)[["term", "tf"]].rename(
         columns={"tf": "tfc"}
     )
-    weights = bo1_weights(agg, lex, N, avgdl, T)
+    weights = qe_weights(agg, lex, N, avgdl, T, qe_model)
 
     rows = []
     for qid, grp in weights.groupby("qid"):
@@ -189,8 +249,10 @@ def search_with_expansion(
     qcfg: Optional[QueryConfig] = None,
     fb_docs: int = EXPANSION_DOCS,
     fb_terms: int = EXPANSION_TERMS,
+    qe_model: str = "Bo1",
 ) -> DataFrame:
     """Two-pass PRF retrieval (the reference's runPostProcessing QE stage,
     querying/Manager.java:746-857)."""
-    expanded = expand_queries(spark, store, queries, qcfg, fb_docs, fb_terms)
+    expanded = expand_queries(spark, store, queries, qcfg, fb_docs,
+                              fb_terms, qe_model)
     return search_terms(spark, store, expanded, qcfg)

@@ -119,6 +119,37 @@ def dlh(tf, dl, qtf, nt, F, N, avgdl, num_tokens, k=0.5):
         ) / (tf + k)
 
 
+def dlh13(tf, dl, qtf, nt, F, N, avgdl, num_tokens, k=0.5):
+    """DLH13.java score() (k=0.5; DLH without the (dl-tf)log2(1-f) term)."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = tf / dl
+        return qtf * (
+            tf * np.log2((tf * avgdl / dl) * (N / F))
+            + 0.5 * np.log2(2 * math.pi * tf * (1.0 - f))
+        ) / (tf + k)
+
+
+def in_expb2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
+    """In_expB2.java score(): Bernoulli after-effect B with the
+    n_exp = N(1-e^-f) expected-idf variant."""
+    tf, dl, qtf, nt, F = _f64(tf, dl, qtf, nt, F)
+    TF = tf * np.log2(1.0 + (c * avgdl) / dl)
+    NORM = (F + 1.0) / (nt * (TF + 1.0))
+    f = F / N
+    n_exp = N * (1.0 - np.exp(-f))
+    return TF * np.log2((N + 1.0) / (n_exp + 0.5)) * qtf * NORM
+
+
+def ifb2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
+    """IFB2.java score(): inverse-collection-frequency idf with
+    Bernoulli after-effect B."""
+    tf, dl, qtf, nt, F = _f64(tf, dl, qtf, nt, F)
+    TF = tf * np.log2(1.0 + (c * avgdl) / dl)
+    NORM = (F + 1.0) / (nt * (TF + 1.0))
+    return TF * qtf * np.log2((N + 1.0) / (F + 0.5)) * NORM
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     kernel: Callable
@@ -135,6 +166,10 @@ MODELS: Dict[str, ModelSpec] = {
     "LGD": ModelSpec(lgd, True),
     "DPH": ModelSpec(dph, False),
     "DLH": ModelSpec(dlh, False),
+    "DLH13": ModelSpec(dlh13, False),
+    # TF/(TF+1) increasing in TF and the rest constant per term -> monotone
+    "In_expB2": ModelSpec(in_expb2, True),
+    "IFB2": ModelSpec(ifb2, True),
 }
 
 

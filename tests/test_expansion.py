@@ -76,6 +76,53 @@ def test_expansion_rank_identity(spark, engine):
     assert checked >= 3
 
 
+def test_qe_weight_goldens():
+    """Hand-computed Bo2/KL weights + normalisers (Bo2.java, KL.java)."""
+    import numpy as np
+
+    from terrier_spark.query.expansion import QE_MODELS
+
+    tfx, F, N, total_dl, T = 4.0, 120.0, 1000, 300.0, 90000
+    w2, n2 = QE_MODELS["Bo2"]
+    f = tfx * total_dl / T
+    exp_w = tfx * math.log2((1 + f) / f) + math.log2(1 + f)
+    assert float(w2(np.array([tfx]), np.array([F]), N, total_dl, T)[0]) == \
+        pytest.approx(exp_w, rel=1e-12)
+    f_max = tfx * total_dl / T
+    exp_n = tfx * math.log2((1 + f_max) / f_max) + math.log2(1 + f_max)
+    assert n2(tfx, total_dl, T, 80.0) == pytest.approx(exp_n, rel=1e-12)
+
+    wk, nk = QE_MODELS["KL"]
+    px, pc = tfx / total_dl, F / T
+    exp_w = px * math.log2(px / pc)
+    assert float(wk(np.array([tfx]), np.array([F]), N, total_dl, T)[0]) == \
+        pytest.approx(exp_w, rel=1e-12)
+    # below-collection-probability terms get zero
+    assert float(wk(np.array([0.001]), np.array([F]), N, total_dl, T)[0]) == 0.0
+    exp_n = tfx * math.log(T / total_dl) / (math.log(2.0) * total_dl)
+    assert nk(tfx, total_dl, T, 80.0) == pytest.approx(exp_n, rel=1e-12)
+
+
+@pytest.mark.parametrize("qe_model", ["Bo1", "Bo2", "KL"])
+def test_expansion_rank_identity_per_qe_model(spark, engine, qe_model):
+    store, oracle = engine
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    queries = [("q1", f"{usable[0]} {usable[3]} {usable[6]}")]
+    qcfg = QueryConfig(k=15)
+    got = (
+        search_with_expansion(spark, store, queries, qcfg, qe_model=qe_model)
+        .orderBy("rank").toPandas()
+    )
+    exp = oracle.search_with_expansion(queries[0][1], qcfg, qe_model=qe_model)
+    assert len(got) == len(exp) and len(exp) > 0
+    assert list(got["docid"]) == [d for d, _ in exp], qe_model
+    for g, (_, s) in zip(got["score"], exp):
+        assert g == pytest.approx(s, abs=1e-6)
+
+
 def test_expansion_adds_terms(spark, engine):
     store, oracle = engine
     usable = sorted(

@@ -88,6 +88,31 @@ def test_dlh_golden():
     assert score_scalar("DLH", TF, DL, QTF, NT, FC, N, AVGDL, T) == pytest.approx(exp, rel=1e-12)
 
 
+def test_dlh13_golden():
+    f = TF / DL
+    exp = QTF * (
+        TF * log2((TF * AVGDL / DL) * (N / FC))
+        + 0.5 * log2(2 * math.pi * TF * (1 - f))
+    ) / (TF + 0.5)
+    assert score_scalar("DLH13", TF, DL, QTF, NT, FC, N, AVGDL, T) == pytest.approx(exp, rel=1e-12)
+
+
+def test_in_expb2_golden():
+    TFn = TF * log2(1 + AVGDL / DL)
+    NORM = (FC + 1) / (NT * (TFn + 1))
+    f = FC / N
+    n_exp = N * (1 - math.exp(-f))
+    exp = TFn * log2((N + 1) / (n_exp + 0.5)) * QTF * NORM
+    assert score_scalar("In_expB2", TF, DL, QTF, NT, FC, N, AVGDL, T) == pytest.approx(exp, rel=1e-12)
+
+
+def test_ifb2_golden():
+    TFn = TF * log2(1 + AVGDL / DL)
+    NORM = (FC + 1) / (NT * (TFn + 1))
+    exp = TFn * QTF * log2((N + 1) / (FC + 0.5)) * NORM
+    assert score_scalar("IFB2", TF, DL, QTF, NT, FC, N, AVGDL, T) == pytest.approx(exp, rel=1e-12)
+
+
 @pytest.fixture(scope="module")
 def engine(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("midx"))

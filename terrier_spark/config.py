@@ -86,6 +86,13 @@ class IndexConfig:
     # org/terrier/structures/indexing/classical/BlockIndexer.java:84-99):
     # enables index-backed phrase/proximity at ~1-2 bytes/token extra.
     positions: bool = False
+    # Ordered (field_name, corpus_column) pairs.  When set, each document
+    # is tokenized per field (streams concatenated in this order for
+    # positions/doclen, as the reference's FieldTags processing,
+    # org/terrier/utility/FieldScore.java:54-86) and postings carry
+    # per-field tf + field-length vectors, enabling BM25F and field
+    # restriction.  E.g. (("path", "path"), ("content", "content")).
+    field_cols: Optional[tuple] = None
 
 
 @dataclass(frozen=True)
@@ -108,6 +115,12 @@ class QueryConfig:
     # two-pass bound computation costs more than the decode it avoids, so
     # search falls back to the exhaustive plan.
     prune_min_postings: int = 100_000
+    # Per-field weights / NormalisationB c parameters for BM25F, aligned
+    # with the index's field order; None -> all 1.0 (the reference's
+    # w.<fi> / c.<fi> property defaults,
+    # matching/models/PerFieldNormWeightingModel.java:147-155).
+    field_weights: Optional[tuple] = None
+    field_c: Optional[tuple] = None
 
 
 def with_pipeline(cfg: IndexConfig, pipeline: PipelineConfig) -> IndexConfig:

@@ -46,7 +46,7 @@ DEFAULT_BUCKET_SPAN = 1 << 16
 BLOCK_SCHEMA = (
     "term string, bucket long, block_id int, n int, first_docid long, "
     "last_docid long, max_tf int, min_dl int, tf_sum long, block binary, "
-    "pos binary"
+    "pos binary, ftf binary, fln binary"
 )
 
 
@@ -65,8 +65,9 @@ def terms_udf(cfg: PipelineConfig):
     return pandas_udf(run, ArrayType(StringType()))
 
 
-def _encode_group(cfg_block_size: int, with_positions: bool = False):
-    from terrier_spark.compression.vbyte import encode_positions
+def _encode_group(cfg_block_size: int, with_positions: bool = False,
+                  with_fields: bool = False):
+    from terrier_spark.compression.vbyte import encode_positions, vbyte_encode
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid")
@@ -76,18 +77,28 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False):
         pos_lists = (
             pdf["positions"].tolist() if with_positions else None
         )
+        ftf_lists = pdf["ftf"].tolist() if with_fields else None
+        fln_lists = pdf["field_lens"].tolist() if with_fields else None
         term = pdf["term"].iloc[0]
         bucket = int(pdf["bucket"].iloc[0])
         rows = []
         for b0 in range(0, ids.size, cfg_block_size):
             b1 = min(b0 + cfg_block_size, ids.size)
             blk_ids, blk_tfs, blk_dls = ids[b0:b1], tfs[b0:b1], dls[b0:b1]
-            pos_bytes = None
+            pos_bytes = ftf_bytes = fln_bytes = None
             if pos_lists is not None:
                 flat = np.concatenate(
                     [np.asarray(p, dtype=np.int64) for p in pos_lists[b0:b1]]
                 )
                 pos_bytes = encode_positions(flat)
+            if ftf_lists is not None:
+                # flattened n x F per-posting field tfs and field lengths
+                ftf_bytes = vbyte_encode(np.concatenate(
+                    [np.asarray(v, dtype=np.uint64) for v in ftf_lists[b0:b1]]
+                ))
+                fln_bytes = vbyte_encode(np.concatenate(
+                    [np.asarray(v, dtype=np.uint64) for v in fln_lists[b0:b1]]
+                ))
             rows.append(
                 (
                     term,
@@ -101,6 +112,8 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False):
                     int(blk_tfs.sum()),
                     encode_scoring_block(blk_ids, blk_tfs, blk_dls),
                     pos_bytes,
+                    ftf_bytes,
+                    fln_bytes,
                 )
             )
         return pd.DataFrame(
@@ -108,6 +121,7 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False):
             columns=[
                 "term", "bucket", "block_id", "n", "first_docid",
                 "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
+                "ftf", "fln",
             ],
         )
 
@@ -148,10 +162,12 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
         acc += counts[pid]
     pipe_cfg = cfg.pipeline
 
+    fields = cfg.field_cols  # ordered (field_name, column) pairs or None
     out_schema = (
         "docid long, docno string, repo string, path string, commit string, "
         "lang string, sha256 string, doclen long, uterms array<string>, "
-        "upos array<array<int>>"
+        "upos array<array<int>>, uftf array<array<int>>, "
+        "field_lens array<long>"
     )
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,23 +181,44 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
         expected = counts.get(pid, 0)
         for pdf in batches:
             contents = pdf["content"].fillna("")
+            field_series = (
+                [pdf[col].fillna("") for _, col in fields] if fields else None
+            )
             n = len(pdf)
             doclens = np.empty(n, dtype=np.int64)
-            uterms_col, upos_col = [], []
-            for i, c in enumerate(contents):
-                terms = pipe.terms(c)
-                doclens[i] = len(terms)
+            uterms_col, upos_col, uftf_col, flens_col = [], [], [], []
+            for i in range(n):
                 # per-document map-side aggregation (the reference's
                 # DocumentPostingList, structures/indexing/
                 # DocumentPostingList.java:62-113): one (term ->
-                # positions-in-kept-stream) entry per unique term, so the
+                # positions/field-tfs) entry per unique term, so the
                 # shuffle carries one row per (doc, term) pair instead of
                 # one per token
+                if fields:
+                    streams = [pipe.terms(s.iat[i]) for s in field_series]
+                    terms = [t for s in streams for t in s]
+                    nf = len(streams)
+                    ftfmap: dict[str, list[int]] = {}
+                    for fi, s in enumerate(streams):
+                        for t in s:
+                            v = ftfmap.get(t)
+                            if v is None:
+                                v = ftfmap[t] = [0] * nf
+                            v[fi] += 1
+                    flens_col.append([len(s) for s in streams])
+                else:
+                    terms = pipe.terms(contents.iat[i])
+                    ftfmap = None
+                    flens_col.append(None)
+                doclens[i] = len(terms)
                 posmap: dict[str, list[int]] = {}
                 for pos, t in enumerate(terms):
                     posmap.setdefault(t, []).append(pos)
                 uterms_col.append(list(posmap.keys()))
                 upos_col.append(list(posmap.values()))
+                uftf_col.append(
+                    [ftfmap[t] for t in posmap] if fields else None
+                )
             out = pd.DataFrame(
                 {
                     "docid": np.arange(next_id, next_id + n, dtype=np.int64),
@@ -197,11 +234,14 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
                     "doclen": doclens,
                     "uterms": uterms_col,
                     "upos": upos_col,
+                    "uftf": uftf_col,
+                    "field_lens": flens_col,
                 }
             )
             next_id += n
             yield out[["docid", "docno", "repo", "path", "commit", "lang",
-                       "sha256", "doclen", "uterms", "upos"]]
+                       "sha256", "doclen", "uterms", "upos", "uftf",
+                       "field_lens"]]
         if next_id - start_id != expected:
             raise RuntimeError(
                 f"partition {pid}: saw {next_id - start_id} rows, count "
@@ -213,22 +253,27 @@ def tokenized_corpus(corpus: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def posting_rows(doc_terms: DataFrame,
-                 with_positions: bool = False) -> DataFrame:
-    """(docid, doclen, uterms, upos) -> one row per (term, docid) with tf
-    (and the position list when requested).  No aggregation needed: the
-    fused pass already did the per-document combine, so this is a pure
-    JVM explode of pre-aggregated pairs.  doclen rides along
-    (functionally dependent on docid) so block encoding never needs a
-    docs-table join."""
-    z = doc_terms.select(
-        "docid", "doclen",
-        F.explode(F.arrays_zip("uterms", "upos")).alias("z"),
+                 with_positions: bool = False,
+                 with_fields: bool = False) -> DataFrame:
+    """(docid, doclen, uterms, upos[, uftf, field_lens]) -> one row per
+    (term, docid) with tf (and position / field-tf vectors when
+    requested).  No aggregation needed: the fused pass already did the
+    per-document combine, so this is a pure JVM explode of pre-aggregated
+    pairs.  doclen (and field_lens) ride along (functionally dependent on
+    docid) so block encoding never needs a docs-table join."""
+    zipped = (
+        F.arrays_zip("uterms", "upos", "uftf")
+        if with_fields
+        else F.arrays_zip("uterms", "upos")
     )
+    cols = ["docid", "doclen"] + (["field_lens"] if with_fields else [])
+    z = doc_terms.select(*cols, F.explode(zipped).alias("z"))
     out = z.select(
-        "docid", "doclen",
+        *cols,
         F.col("z.uterms").alias("term"),
         F.size("z.upos").cast("int").alias("tf"),
         F.col("z.upos").alias("positions"),
+        *([F.col("z.uftf").alias("ftf")] if with_fields else []),
     )
     if not with_positions:
         out = out.drop("positions")
@@ -259,18 +304,23 @@ def build_index(
     doc_terms = tokenized_corpus(corpus, cfg)
     doc_terms.persist()
 
+    with_fields = bool(cfg.field_cols)
+
     # --- meta (docs is a projection of it — one write, not two) -----------
-    meta = doc_terms.select(
-        "docid", "docno", "repo", "path", "commit", "lang", "sha256", "doclen"
-    )
+    meta_cols = ["docid", "docno", "repo", "path", "commit", "lang",
+                 "sha256", "doclen"] + (["field_lens"] if with_fields else [])
+    meta = doc_terms.select(*meta_cols)
     meta.write.mode("overwrite").parquet(f"{out_dir}/meta")
 
     # --- postings ---------------------------------------------------------
-    postings = posting_rows(doc_terms, with_positions=cfg.positions).withColumn(
+    postings = posting_rows(
+        doc_terms, with_positions=cfg.positions, with_fields=with_fields
+    ).withColumn(
         "bucket", (F.col("docid") / F.lit(bucket_span)).cast("long")
     )
     blocks = postings.groupBy("term", "bucket").applyInPandas(
-        _encode_group(cfg.block_size, with_positions=cfg.positions),
+        _encode_group(cfg.block_size, with_positions=cfg.positions,
+                      with_fields=with_fields),
         schema=BLOCK_SCHEMA,
     )
     # sort by term so parquet row-group min/max stats prune term lookups
@@ -323,6 +373,19 @@ def build_index(
         "num_pointers": int(lrow["num_pointers"] or 0),
         "avg_doclen": (num_tokens / num_docs) if num_docs else 0.0,
     }
+    if with_fields:
+        nf = len(cfg.field_cols)
+        frow = meta_read.select(
+            *[
+                F.sum(F.element_at("field_lens", i + 1)).alias(f"f{i}")
+                for i in range(nf)
+            ]
+        ).collect()[0]
+        stats["fields"] = [name for name, _ in cfg.field_cols]
+        stats["avg_field_lens"] = [
+            (int(frow[f"f{i}"] or 0) / num_docs) if num_docs else 0.0
+            for i in range(nf)
+        ]
 
     n_docs = int(num_docs)
     elapsed = time.time() - t0
@@ -332,6 +395,7 @@ def build_index(
         "bucket_span": bucket_span,
         "block_size": cfg.block_size,
         "positions": cfg.positions,
+        "fields": [list(fc) for fc in cfg.field_cols] if cfg.field_cols else None,
         "pipeline": asdict(cfg.pipeline) | {
             "stopwords": sorted(cfg.pipeline.stopwords or ())
         },

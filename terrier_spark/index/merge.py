@@ -43,8 +43,11 @@ def _rebase_blocks(offset: int, span: int):
                         row.term, int(ids[0] // span), row.block_id, row.n,
                         int(ids[0]), int(ids[-1]), row.max_tf, row.min_dl,
                         row.tf_sum, encode_scoring_block(ids, tfs, dls),
-                        # positions are docid-independent: pass through
+                        # positions/field vectors are docid-independent:
+                        # pass through unchanged
                         getattr(row, "pos", None),
+                        getattr(row, "ftf", None),
+                        getattr(row, "fln", None),
                     )
                 )
             if rows:
@@ -52,7 +55,8 @@ def _rebase_blocks(offset: int, span: int):
                     rows,
                     columns=["term", "bucket", "block_id", "n",
                              "first_docid", "last_docid", "max_tf",
-                             "min_dl", "tf_sum", "block", "pos"],
+                             "min_dl", "tf_sum", "block", "pos", "ftf",
+                             "fln"],
                 )
 
     return run
@@ -87,7 +91,7 @@ def merge_indexes(spark: SparkSession, a: IndexStore, b: IndexStore,
     schema = (
         "term string, bucket long, block_id int, n int, first_docid long, "
         "last_docid long, max_tf int, min_dl int, tf_sum long, block binary, "
-        "pos binary"
+        "pos binary, ftf binary, fln binary"
     )
     blocks_a = a.postings(spark)
     blocks_b = b.postings(spark).mapInPandas(

@@ -97,7 +97,7 @@ def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
         ("first_docid", pa.int64()), ("last_docid", pa.int64()),
         ("max_tf", pa.int32()), ("min_dl", pa.int32()),
         ("tf_sum", pa.int64()), ("block", pa.binary()),
-        ("pos", pa.binary()),
+        ("pos", pa.binary()), ("ftf", pa.binary()), ("fln", pa.binary()),
     ])
     pq.write_table(
         pa.Table.from_pandas(blocks, schema=schema, preserve_index=False),
@@ -205,6 +205,9 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
         columns=["term", "bucket", "block_id", "n", "first_docid",
                  "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos"],
     )
+    # fields are a monolithic-builder feature for now
+    blocks["ftf"] = None
+    blocks["fln"] = None
     return docs, meta, blocks, sha_acc.hexdigest()
 
 
@@ -224,6 +227,11 @@ def build_index_resumable(
     deterministically leaves those segments unbuilt (a reproducible
     "killed after partial completion" state for resume tests)."""
     cfg = cfg or IndexConfig()
+    if cfg.field_cols:
+        raise NotImplementedError(
+            "per-field postings are supported by the monolithic "
+            "build_index only; use it for field/BM25F indexes"
+        )
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     # pin partitioning across the plan job and the build job (see

@@ -18,6 +18,66 @@ from terrier_spark.config import BM25Config, PipelineConfig, QueryConfig
 from terrier_spark.text.pipeline import make_pipeline
 
 
+class OracleFieldIndex:
+    """Field-aware oracle: per-doc per-field token streams; BM25F scoring
+    per the reference (PerFieldNormWeightingModel + BM + NormalisationB).
+    `docs` = list of per-field text tuples in field order."""
+
+    def __init__(self, docs: Sequence[Tuple[str, ...]],
+                 pipeline: PipelineConfig):
+        pipe = make_pipeline(pipeline)
+        self.nf = len(docs[0]) if docs else 0
+        self.field_lens: List[List[int]] = []
+        # term -> {docid: [tf per field]}
+        self.postings: Dict[str, Dict[int, List[int]]] = {}
+        for docid, fields in enumerate(docs):
+            streams = [pipe.terms(t or "") for t in fields]
+            self.field_lens.append([len(s) for s in streams])
+            for fi, s in enumerate(streams):
+                for term in s:
+                    row = self.postings.setdefault(term, {}).setdefault(
+                        docid, [0] * self.nf
+                    )
+                    row[fi] += 1
+        self.num_docs = len(docs)
+        totals = [0] * self.nf
+        for fl in self.field_lens:
+            for i, v in enumerate(fl):
+                totals[i] += v
+        self.avg_field_lens = [
+            t / self.num_docs if self.num_docs else 0.0 for t in totals
+        ]
+        self.pipeline = pipeline
+
+    def search_bm25f(self, query: str, k: int = 1000, weights=None, cs=None,
+                     k1=1.2, k3=8.0) -> List[Tuple[int, float]]:
+        pipe = make_pipeline(self.pipeline)
+        qcounts = Counter(pipe.query_terms(query))
+        w = weights or [1.0] * self.nf
+        c = cs or [1.0] * self.nf
+        acc: Dict[int, float] = {}
+        for term, qtf in qcounts.items():
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            nt = len(plist)
+            idf = math.log2((self.num_docs - nt + 0.5) / (nt + 0.5))
+            qk = (k3 + 1.0) * qtf / (k3 + qtf)
+            for docid, ftf in plist.items():
+                tfn = 0.0
+                for i in range(self.nf):
+                    if ftf[i]:
+                        norm = 1.0 - c[i] + c[i] * (
+                            self.field_lens[docid][i] / self.avg_field_lens[i]
+                        )
+                        tfn += w[i] * ftf[i] / norm
+                if tfn == 0.0:
+                    continue
+                s = qk * ((k1 + 1.0) * tfn / (k1 + tfn)) * idf
+                acc[docid] = acc.get(docid, 0.0) + s
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 class OracleIndex:
     def __init__(self, contents: Sequence[str], pipeline: PipelineConfig):
         """contents[i] = content of docid i (caller fixes the docid order)."""

@@ -150,10 +150,37 @@ def ifb2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
     return TF * qtf * np.log2((N + 1.0) / (F + 0.5)) * NORM
 
 
+def bm25f(ftf, fln, qtf, nt, N, weights, cs, avg_flens, k1=1.2, k3=8.0):
+    """BM25F (matching/models/BM25F.java = PerFieldNormWeightingModel with
+    BasicModel BM x NormalisationB, :118-133):
+
+        tfn_i = w_i * tf_i / (1 - c_i + c_i * len_i/avg_len_i)   [tf_i>0]
+        tfn   = sum_i tfn_i;  0 -> score 0
+        score = (k3+1)qtf/(k3+qtf) * (k1+1)tfn/(k1+tfn)
+                * log2((N - nt + 0.5)/(nt + 0.5))
+
+    ftf/fln: (n_postings, n_fields) arrays; weights/cs/avg_flens:
+    per-field vectors (defaults 1.0 per the w.<fi>/c.<fi> properties)."""
+    ftf = np.asarray(ftf, dtype=np.float64)
+    fln = np.asarray(fln, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    c = np.asarray(cs, dtype=np.float64)
+    av = np.asarray(avg_flens, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = 1.0 - c + c * fln / av
+        tfn_i = np.where(ftf > 0, w * ftf / norm, 0.0)
+    tfn = np.nan_to_num(tfn_i, nan=0.0, posinf=0.0).sum(axis=1)
+    qk = (k3 + 1.0) * qtf / (k3 + qtf)
+    idf = np.log2((N - float(nt) + 0.5) / (float(nt) + 0.5))
+    score = qk * ((k1 + 1.0) * tfn / (k1 + tfn)) * idf
+    return np.where(tfn == 0.0, 0.0, score)
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     kernel: Callable
     prunable: bool  # monotone in tf (inc) and dl (dec): block-max safe
+    needs_fields: bool = False  # scores from per-field tf/length vectors
 
 
 MODELS: Dict[str, ModelSpec] = {
@@ -170,6 +197,9 @@ MODELS: Dict[str, ModelSpec] = {
     # TF/(TF+1) increasing in TF and the rest constant per term -> monotone
     "In_expB2": ModelSpec(in_expb2, True),
     "IFB2": ModelSpec(ifb2, True),
+    # field-aware: needs ftf/fln block vectors (per-field bounds are not
+    # captured by (max_tf, min_dl), so no block-max pruning)
+    "BM25F": ModelSpec(bm25f, False, needs_fields=True),
 }
 
 

@@ -13,9 +13,11 @@ Covers the operator surface of the reference's ANTLR grammar
     "a b c"         exact phrase constraint (terms also score;
                     matching/dsms/PhraseScoreModifier.java:58)
     "a b"~3         proximity window constraint
-    field:term      field restriction — NOT supported (the index stores no
-                    per-field tfs); parsing raises so the limitation is
-                    loud, not silent
+    field:term      field restriction on a field index (the doc must
+                    contain the term IN that field; the term also scores
+                    normally — a simplification of TermInFieldModifier's
+                    in-field-only scoring, documented deviation).  On an
+                    index without that field, parsing raises loudly.
 
 All parsed tokens run through the SAME term pipeline as indexing before
 matching (Manager.java:675-679); a pipeline-dropped token drops its
@@ -40,9 +42,12 @@ class ParsedQuery:
     negative: List[str] = field(default_factory=list)
     # (terms, window): window None -> exact phrase (consecutive)
     phrases: List[Tuple[List[str], int | None]] = field(default_factory=list)
+    # (field_name, raw_term) — must appear in that field
+    field_terms: List[Tuple[str, str]] = field(default_factory=list)
 
 
-def parse_query(text: str) -> ParsedQuery:
+def parse_query(text: str, fields: Tuple[str, ...] | None = None
+                ) -> ParsedQuery:
     out = ParsedQuery()
 
     def eat_phrase(m: re.Match) -> str:
@@ -58,10 +63,15 @@ def parse_query(text: str) -> ParsedQuery:
     for m in _TOKEN_RE.finditer(rest):
         prefix, tok, boost = m.group(1), m.group(2), m.group(3)
         if ":" in tok:
-            raise ValueError(
-                f"field restriction {tok!r} is not supported (no per-field "
-                "posting statistics in this index)"
-            )
+            fname, _, fterm = tok.partition(":")
+            if not fields or fname not in fields:
+                raise ValueError(
+                    f"field restriction {tok!r}: field {fname!r} is not in "
+                    f"this index (available: {list(fields or [])})"
+                )
+            out.field_terms.append((fname, fterm))
+            out.terms.append((fterm, float(boost) if boost else 1.0))
+            continue
         weight = float(boost) if boost else 1.0
         if prefix == "-":
             out.negative.append(tok)

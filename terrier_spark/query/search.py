@@ -72,6 +72,9 @@ def _qterm_stats(spark: SparkSession, store: IndexStore, qterms: pd.DataFrame,
     if merged.empty:
         return empty
     merged = merged.copy()
+    if get_model(qcfg.model).needs_fields:
+        merged["term_ub"] = 0.0  # field models run unpruned
+        return merged
     # upper bound: monotone models bound every posting by (max_tf, min_dl);
     # clamped at 0 (valid when the idf factor goes negative, where every
     # actual score is negative)
@@ -86,20 +89,38 @@ def _qterm_stats(spark: SparkSession, store: IndexStore, qterms: pd.DataFrame,
     return merged
 
 
-def _decode_score_udf(model: str, N: int, avgdl: float, T: int):
-    """mapInPandas kernel: (qid, qtf, nt, tfc, block) rows -> (qid, docid,
-    score) posting rows; VByte decode + model kernel, all numpy."""
-    kernel = get_model(model).kernel
+def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
+                      field_params=None):
+    """mapInPandas kernel: (qid, qtf, nt, tfc, block[, ftf, fln]) rows ->
+    (qid, docid, score) posting rows; VByte decode + model kernel, all
+    numpy.  field_params = (weights, cs, avg_flens) for field models."""
+    spec = get_model(model)
+    kernel = spec.kernel
+    needs_fields = spec.needs_fields
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.compression.vbyte import vbyte_decode
+
         for pdf in batches:
             out_qid, out_docid, out_score = [], [], []
             for row in pdf.itertuples():
                 ids, tfs, dls = decode_scoring_block(row.block)
                 if ids.size == 0:
                     continue
-                scores = kernel(tfs, dls, row.qtf, row.nt, row.tfc,
-                                N, avgdl, T)
+                if needs_fields:
+                    weights, cs, avg_flens = field_params
+                    nf = len(avg_flens)
+                    ftf = vbyte_decode(row.ftf, ids.size * nf).reshape(
+                        ids.size, nf
+                    )
+                    fln = vbyte_decode(row.fln, ids.size * nf).reshape(
+                        ids.size, nf
+                    )
+                    scores = kernel(ftf, fln, row.qtf, row.nt, N,
+                                    weights, cs, avg_flens)
+                else:
+                    scores = kernel(tfs, dls, row.qtf, row.nt, row.tfc,
+                                    N, avgdl, T)
                 out_qid.append(np.full(ids.size, row.qid, dtype=object))
                 out_docid.append(ids)
                 out_score.append(scores)
@@ -184,8 +205,24 @@ def search_terms(
     ):
         joined = _prune_buckets(spark, joined, qcfg, N, avgdl, T)
 
-    decoded = joined.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(
-        _decode_score_udf(qcfg.model, N, avgdl, T),
+    spec = get_model(qcfg.model)
+    field_params = None
+    sel_cols = ["qid", "qtf", "nt", "tfc", "block"]
+    if spec.needs_fields:
+        fields = store.stats.get("fields")
+        if not fields:
+            raise ValueError(
+                f"model {qcfg.model} needs a field index (build with "
+                "IndexConfig.field_cols)"
+            )
+        nf = len(fields)
+        avg_flens = store.stats["avg_field_lens"]
+        weights = list(qcfg.field_weights or [1.0] * nf)
+        cs = list(qcfg.field_c or [1.0] * nf)
+        field_params = (weights, cs, avg_flens)
+        sel_cols += ["ftf", "fln"]
+    decoded = joined.select(*sel_cols).mapInPandas(
+        _decode_score_udf(qcfg.model, N, avgdl, T, field_params),
         schema="qid string, docid long, score double",
     )
     scored = decoded.groupBy("qid", "docid").agg(F.sum("score").alias("score"))

@@ -49,6 +49,46 @@ def _docids_with_terms(spark: SparkSession, store: IndexStore,
     return hits.join(F.broadcast(qp), "term").select("qid", "term", "docid")
 
 
+def _docids_with_field_terms(spark: SparkSession, store: IndexStore,
+                             rows: pd.DataFrame, nf: int) -> DataFrame:
+    """rows (qid, term, field_idx) -> (qid, term, field_idx, docid) for
+    docs whose per-field tf of `term` in field `field_idx` is > 0."""
+    from terrier_spark.compression.vbyte import vbyte_decode
+
+    terms = sorted(set(rows["term"]))
+    blocks = store.postings(spark).filter(F.col("term").isin(terms))
+    wanted = rows.groupby("term")["field_idx"].apply(set).to_dict()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, _, _ = decode_scoring_block(row.block)
+                if ids.size == 0 or row.ftf is None:
+                    continue
+                ftf = vbyte_decode(row.ftf, ids.size * nf).reshape(
+                    ids.size, nf
+                )
+                for fi in wanted.get(row.term, ()):
+                    mask = ftf[:, fi] > 0
+                    if mask.any():
+                        outs.append(pd.DataFrame({
+                            "term": row.term,
+                            "field_idx": fi,
+                            "docid": ids[mask],
+                        }))
+            if outs:
+                yield pd.concat(outs)
+
+    hits = blocks.select("term", "block", "ftf").mapInPandas(
+        decode, schema="term string, field_idx int, docid long"
+    )
+    qp = spark.createDataFrame(rows[["qid", "term", "field_idx"]])
+    return hits.join(F.broadcast(qp), ["term", "field_idx"]).select(
+        "qid", "term", "field_idx", "docid"
+    )
+
+
 def search_structured(
     spark: SparkSession,
     store: IndexStore,
@@ -59,10 +99,11 @@ def search_structured(
     qcfg = qcfg or QueryConfig()
     pipe = make_pipeline(store.pipeline_config())
 
-    qterm_rows, req_rows, neg_rows = [], [], []
+    fields = tuple(store.stats.get("fields") or ())
+    qterm_rows, req_rows, neg_rows, field_rows = [], [], [], []
     phrase_jobs: List[Tuple[str, List[str], int | None]] = []
     for qid, text in queries:
-        parsed = parse_query(text)
+        parsed = parse_query(text, fields or None)
         weights: dict[str, float] = {}
         for raw, w in parsed.terms:
             for t in pipe.terms(raw):
@@ -79,6 +120,9 @@ def search_structured(
             terms = [t for w in words for t in pipe.terms(w)]
             if len(terms) >= 2:
                 phrase_jobs.append((str(qid), terms, window))
+        for fname, raw in parsed.field_terms:
+            for t in pipe.terms(raw):
+                field_rows.append((str(qid), t, fields.index(fname)))
 
     from dataclasses import replace
 
@@ -107,6 +151,19 @@ def search_structured(
         neg = pd.DataFrame(neg_rows, columns=["qid", "term"])
         bad = _docids_with_terms(spark, store, neg).select("qid", "docid")
         scored = scored.join(bad, ["qid", "docid"], "left_anti")
+
+    if field_rows:
+        fr = pd.DataFrame(field_rows, columns=["qid", "term", "field_idx"])
+        n_con = fr.groupby("qid").size().reset_index(name="n_con")
+        hits = _docids_with_field_terms(spark, store, fr, len(fields))
+        ok = (
+            hits.groupBy("qid", "docid")
+            .agg(F.count_distinct("term", "field_idx").alias("n_hit"))
+            .join(F.broadcast(spark.createDataFrame(n_con)), "qid")
+            .filter(F.col("n_hit") == F.col("n_con"))
+            .select("qid", "docid")
+        )
+        scored = scored.join(ok, ["qid", "docid"], "left_semi")
 
     for qid, terms, window in phrase_jobs:
         from terrier_spark.query.positional import phrase_docs, proximity_docs

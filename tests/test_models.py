@@ -123,7 +123,10 @@ def engine(spark, tmp_path_factory):
     return store, oracle
 
 
-@pytest.mark.parametrize("model", sorted(MODELS))
+@pytest.mark.parametrize(
+    "model",
+    sorted(m for m, spec in MODELS.items() if not spec.needs_fields),
+)
 def test_rank_identity_per_model(spark, engine, model):
     store, oracle = engine
     queries = [

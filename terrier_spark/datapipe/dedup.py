@@ -10,9 +10,7 @@ Python-hash nondeterminism leaks in.
 
 from __future__ import annotations
 
-from typing import Sequence
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # 60-bit md5-int: conv(first 15 hex chars) -> non-negative < 2^60

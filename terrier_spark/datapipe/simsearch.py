@@ -11,7 +11,6 @@ candidates only.
 
 from __future__ import annotations
 
-import math
 import random
 from typing import Sequence
 

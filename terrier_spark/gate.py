@@ -19,7 +19,6 @@ import string
 import tempfile
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -30,7 +29,7 @@ from terrier_spark.config import (
     QueryConfig,
     SQL_SAFE_PIPELINE,
 )
-from terrier_spark.index.builder import build_index, terms_udf
+from terrier_spark.index.builder import build_index
 from terrier_spark.index.corpus import load_documents_corpus
 from terrier_spark.index.store import IndexStore
 from terrier_spark.query.search import search

@@ -23,7 +23,6 @@ pruning axis (buckets align across terms).
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from dataclasses import asdict

@@ -33,7 +33,6 @@ import os
 import shutil
 import time
 import uuid
-from collections import Counter
 from dataclasses import asdict
 from typing import Iterator, Optional
 

@@ -14,7 +14,7 @@ import math
 from collections import Counter
 from typing import Dict, List, Sequence, Tuple
 
-from terrier_spark.config import BM25Config, PipelineConfig, QueryConfig
+from terrier_spark.config import PipelineConfig, QueryConfig
 from terrier_spark.text.pipeline import make_pipeline
 
 

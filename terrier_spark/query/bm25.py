@@ -20,8 +20,6 @@ pyspark Column expression (for the pure-DataFrame path / SQL oracles).
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict
-
 import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F

@@ -10,7 +10,7 @@ table — the reference's `TrecTerrier -e` as a library call.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Mapping, Sequence, Tuple
+from typing import Dict, Iterable, Mapping
 
 import pandas as pd
 from pyspark.sql import DataFrame

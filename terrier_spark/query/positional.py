@@ -11,7 +11,7 @@ Positions index the KEPT pipeline term stream (BlockIndexer semantics).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd

@@ -45,8 +45,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from terrier_spark.config import IndexConfig, QueryConfig
-    from terrier_spark.index.builder import build_index
     from terrier_spark.index.corpus import load_documents_corpus
+    from terrier_spark.index.resumable import build_index_resumable
     from terrier_spark.query.search import search
     from terrier_spark.session import get_spark
 
@@ -57,10 +57,18 @@ def main() -> None:
     try:
         corpus = load_documents_corpus(spark, sf_dir)
 
+        # the segmented builder + compaction is the scale architecture
+        # (map-side blocks + per-partition checkpoints, then the
+        # geometric-merge pass) — benchmark what production would run
+        from terrier_spark.index.resumable import compact_postings
+
         t0 = time.time()
-        store = build_index(spark, corpus, out_dir, IndexConfig(),
-                            bucket_span=1024)
+        store = build_index_resumable(spark, corpus, out_dir, IndexConfig(),
+                                      bucket_span=1024)
         phases["index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        store = compact_postings(spark, store)
+        phases["compact"] = round(time.time() - t0, 3)
         n_docs = store.stats["num_docs"]
 
         vocab = [

@@ -84,10 +84,31 @@ def _kl_norm(tf_max, total_dl, T, avgdl):
     return tf_max * math.log(T / total_dl) / (math.log(2.0) * total_dl)
 
 
+def _ba_w(tfx, F, N, total_dl, T):
+    """BA.java score(): Kullback-Leibler with binomial accuracy term —
+    total_dl*(f*log2(f/p) + f*log2((1-f)/(1-p))) + 0.5*log2(2 pi F (1-f)),
+    0 when f < p.  (The second D term multiplies by f, exactly as the
+    reference does.)  CS.java subclasses BA unchanged."""
+    tfx = np.asarray(tfx, np.float64)
+    F = np.asarray(F, np.float64)
+    f = tfx / total_dl
+    p = F / T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        D = f * np.log2(f / p) + f * np.log2((1.0 - f) / (1.0 - p))
+        w = total_dl * D + 0.5 * np.log2(2 * math.pi * F * (1.0 - f))
+    return np.where(f < p, 0.0, w)
+
+
+def _one_norm(tf_max, total_dl, T, avgdl):
+    return 1.0  # BA/CS are already normalised (BA.parameterFreeNormaliser)
+
+
 QE_MODELS = {
     "Bo1": (_bo1_w, _bo1_norm),
     "Bo2": (_bo2_w, _bo2_norm),
     "KL": (_kl_w, _kl_norm),
+    "BA": (_ba_w, _one_norm),
+    "CS": (_ba_w, _one_norm),
 }
 
 

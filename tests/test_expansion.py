@@ -103,7 +103,7 @@ def test_qe_weight_goldens():
     assert nk(tfx, total_dl, T, 80.0) == pytest.approx(exp_n, rel=1e-12)
 
 
-@pytest.mark.parametrize("qe_model", ["Bo1", "Bo2", "KL"])
+@pytest.mark.parametrize("qe_model", ["Bo1", "Bo2", "KL", "BA", "CS"])
 def test_expansion_rank_identity_per_qe_model(spark, engine, qe_model):
     store, oracle = engine
     usable = sorted(

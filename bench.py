@@ -55,7 +55,9 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="terrier_bench_")
     phases: dict[str, float] = {}
     try:
-        corpus = load_documents_corpus(spark, sf_dir)
+        # the testdata parquet is a single file -> a single input
+        # partition; spread it so the build parallelizes
+        corpus = load_documents_corpus(spark, sf_dir).repartition(cpus * 2)
 
         # the segmented builder + compaction is the scale architecture
         # (map-side blocks + per-partition checkpoints, then the

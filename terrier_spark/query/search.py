@@ -221,7 +221,16 @@ def search_terms(
         cs = list(qcfg.field_c or [1.0] * nf)
         field_params = (weights, cs, avg_flens)
         sel_cols += ["ftf", "fln"]
-    decoded = joined.select(*sel_cols).mapInPandas(
+    # a small postings scan (few parquet files) can collapse to 1-2 input
+    # partitions, serializing the decode; spread the joined block rows
+    # when the scan gives less parallelism than the session default
+    # (checked on the raw scan, cached per store — probing the joined
+    # plan would force the broadcast exchange eagerly)
+    selected = joined.select(*sel_cols)
+    default_par = spark.sparkContext.defaultParallelism
+    if store.postings_scan_partitions(spark) < max(default_par // 2, 2):
+        selected = selected.repartition(default_par)
+    decoded = selected.mapInPandas(
         _decode_score_udf(qcfg.model, N, avgdl, T, field_params),
         schema="qid string, docid long, score double",
     )

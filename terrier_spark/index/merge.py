@@ -33,23 +33,75 @@ from terrier_spark.index.store import IndexStore
 
 def _rebase_blocks(offset: int, span: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.compression.vbyte import (
+            encode_positions,
+            vbyte_decode,
+            vbyte_encode,
+        )
+
         for pdf in batches:
             rows = []
             for row in pdf.itertuples():
                 ids, tfs, dls = decode_scoring_block(row.block)
                 ids = ids + offset
-                rows.append(
-                    (
-                        row.term, int(ids[0] // span), row.block_id, row.n,
-                        int(ids[0]), int(ids[-1]), row.max_tf, row.min_dl,
-                        row.tf_sum, encode_scoring_block(ids, tfs, dls),
+                # offset is rarely a multiple of span, so a rebased block
+                # can STRADDLE a bucket boundary.  Buckets must partition
+                # docids identically across terms (block-max pruning sums
+                # per-term bounds per bucket and drops whole buckets —
+                # query/search.py::_prune_buckets), so straddling blocks
+                # are split at every new boundary of (ids + offset).
+                buckets = ids // span
+                cuts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(buckets)) + 1, [ids.size])
+                )
+                pos_b = getattr(row, "pos", None)
+                ftf_b = getattr(row, "ftf", None)
+                fln_b = getattr(row, "fln", None)
+                split = cuts.size > 2
+                if split:
+                    if pos_b is not None:
+                        pos_flat = vbyte_decode(pos_b, int(tfs.sum()))
+                        pos_off = np.concatenate(
+                            ([0], np.cumsum(tfs))
+                        ).astype(np.int64)
+                    if ftf_b is not None:
+                        ftf_flat = vbyte_decode(ftf_b)
+                        fln_flat = vbyte_decode(fln_b)
+                        nf = ftf_flat.size // ids.size
+                for s, e in zip(cuts[:-1], cuts[1:]):
+                    if split:
+                        blk = encode_scoring_block(ids[s:e], tfs[s:e],
+                                                   dls[s:e])
+                        n = int(e - s)
+                        max_tf = int(tfs[s:e].max())
+                        min_dl = int(dls[s:e].min())
+                        tf_sum = int(tfs[s:e].sum())
+                        p = (
+                            encode_positions(pos_flat[pos_off[s]:pos_off[e]])
+                            if pos_b is not None else None
+                        )
+                        ft = (
+                            vbyte_encode(ftf_flat[s * nf:e * nf])
+                            if ftf_b is not None else None
+                        )
+                        fl = (
+                            vbyte_encode(fln_flat[s * nf:e * nf])
+                            if ftf_b is not None else None
+                        )
+                    else:
                         # positions/field vectors are docid-independent:
                         # pass through unchanged
-                        getattr(row, "pos", None),
-                        getattr(row, "ftf", None),
-                        getattr(row, "fln", None),
+                        blk = encode_scoring_block(ids, tfs, dls)
+                        n, max_tf = row.n, row.max_tf
+                        min_dl, tf_sum = row.min_dl, row.tf_sum
+                        p, ft, fl = pos_b, ftf_b, fln_b
+                    rows.append(
+                        (
+                            row.term, int(buckets[s]), row.block_id, n,
+                            int(ids[s]), int(ids[e - 1]), max_tf, min_dl,
+                            tf_sum, blk, p, ft, fl,
+                        )
                     )
-                )
             if rows:
                 yield pd.DataFrame(
                     rows,

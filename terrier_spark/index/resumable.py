@@ -343,9 +343,22 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
     }
     elapsed = time.time() - t0
     built = sum(1 for r in ckpt_rows if r["status"] == "built")
+    # a prior compaction stays valid: its coverage list tells postings()
+    # which segments the compact file already folds in, so refreshing the
+    # lexicon/stats must not silently revert the layout to "segmented"
+    prior_manifest = {}
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            prior_manifest = json.load(fh)
+    layout = (
+        "segmented_compacted"
+        if prior_manifest.get("layout") == "segmented_compacted"
+        else "segmented"
+    )
     manifest = {
         "version": 1,
-        "layout": "segmented",
+        "layout": layout,
         "bucket_span": bucket_span,
         "block_size": cfg.block_size,
         "positions": cfg.positions,
@@ -361,6 +374,10 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
             "partitions_cached": len(ckpt_rows) - built,
         },
     }
+    if layout == "segmented_compacted":
+        manifest["compacted_segments"] = (
+            prior_manifest.get("compacted_segments") or []
+        )
     with open(f"{out_dir}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=2)
 
@@ -369,45 +386,103 @@ def compact_postings(spark: SparkSession, store: IndexStore,
                      cfg: Optional[IndexConfig] = None) -> IndexStore:
     """Re-group and re-encode posting blocks across segments into the
     monolithic layout (geometric-merge / recompress analog).  Produces
-    optimal 1024-posting blocks and replaces the segmented postings."""
-    from terrier_spark.compression.vbyte import decode_scoring_block
+    optimal 1024-posting blocks; positional (pos) and per-field (ftf/fln)
+    payloads are decoded, re-sliced to the new block boundaries and
+    re-encoded alongside the scoring blocks.
+
+    Re-entrant: the manifest records which segments a compaction covers
+    (`compacted_segments`), so a later compaction reads the previous
+    compact file PLUS only the segments appended since, and
+    IndexStore.postings() keeps newer segments visible in between."""
+    from terrier_spark.compression.vbyte import (
+        decode_positions,
+        decode_scoring_block,
+        vbyte_decode,
+    )
     from terrier_spark.index.builder import BLOCK_SCHEMA, _encode_group
 
     cfg = cfg or IndexConfig()
     out_dir = store.path
-    if store.manifest.get("positions"):
-        raise NotImplementedError(
-            "compaction of positional postings not implemented yet; "
-            "rebuild with positions=False or skip compaction"
+    manifest = dict(store.manifest)
+    with_pos = bool(manifest.get("positions"))
+    fields = manifest.get("fields")
+    nf = len(fields) if fields else 0
+
+    seg_root = os.path.join(out_dir, "segments")
+    compact_path = os.path.join(out_dir, "postings_compact")
+    all_segs = (
+        sorted(
+            d for d in os.listdir(seg_root)
+            if os.path.exists(os.path.join(seg_root, d, "_SUCCESS"))
         )
+        if os.path.isdir(seg_root) else []
+    )
+    covered = set(manifest.get("compacted_segments") or [])
+    new_segs = [s for s in all_segs if s not in covered]
+
+    if all_segs:
+        srcs = []
+        if covered and os.path.isdir(compact_path):
+            if not new_segs:
+                return store  # nothing appended since the last compaction
+            srcs.append(spark.read.parquet(compact_path))
+        if new_segs:
+            srcs.append(spark.read.parquet(
+                *[f"{seg_root}/{s}/postings.parquet" for s in new_segs]
+            ))
+        src = srcs[0]
+        for extra in srcs[1:]:
+            src = src.unionByName(extra)
+    else:
+        src = store.postings(spark)  # monolithic recompress path
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
             for row in pdf.itertuples():
                 ids, tfs, dls = decode_scoring_block(row.block)
-                outs.append(pd.DataFrame({
+                out = {
                     "term": row.term, "bucket": row.bucket,
                     "docid": ids, "tf": tfs, "doclen": dls,
-                }))
+                }
+                if with_pos:
+                    out["positions"] = decode_positions(row.pos, tfs)
+                if nf:
+                    out["ftf"] = list(
+                        vbyte_decode(row.ftf, ids.size * nf)
+                        .reshape(ids.size, nf).astype(np.int64)
+                    )
+                    out["field_lens"] = list(
+                        vbyte_decode(row.fln, ids.size * nf)
+                        .reshape(ids.size, nf).astype(np.int64)
+                    )
+                outs.append(pd.DataFrame(out))
             if outs:
                 yield pd.concat(outs)
 
-    rows = store.postings(spark).mapInPandas(
-        explode,
-        schema="term string, bucket long, docid long, tf int, doclen long",
-    )
+    schema = "term string, bucket long, docid long, tf int, doclen long"
+    if with_pos:
+        schema += ", positions array<long>"
+    if nf:
+        schema += ", ftf array<long>, field_lens array<long>"
+    rows = src.mapInPandas(explode, schema=schema)
     blocks = rows.groupBy("term", "bucket").applyInPandas(
-        _encode_group(cfg.block_size), schema=BLOCK_SCHEMA
+        _encode_group(cfg.block_size, with_positions=with_pos,
+                      with_fields=bool(nf)),
+        schema=BLOCK_SCHEMA,
     )
-    tmp = f"{out_dir}/postings_compact"
+    # write beside the live compact file, swap in atomically after the job
+    tmp = f"{compact_path}.tmp-{uuid.uuid4().hex[:8]}"
     (
         blocks.repartitionByRange(cfg.shuffle_partitions, "term", "bucket")
         .sortWithinPartitions("term", "bucket", "block_id")
         .write.mode("overwrite").parquet(tmp)
     )
-    manifest = dict(store.manifest)
+    if os.path.isdir(compact_path):
+        shutil.rmtree(compact_path)
+    os.replace(tmp, compact_path)
     manifest["layout"] = "segmented_compacted"
+    manifest["compacted_segments"] = all_segs
     with open(f"{out_dir}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=2)
     return IndexStore(out_dir)

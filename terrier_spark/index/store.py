@@ -104,7 +104,29 @@ class IndexStore:
 
     def postings(self, spark: SparkSession) -> DataFrame:
         if self.layout == "segmented_compacted":
-            return spark.read.parquet(f"{self.path}/postings_compact")
+            df = spark.read.parquet(f"{self.path}/postings_compact")
+            # segments appended AFTER the recorded compaction are not in
+            # the compact file yet — union them so queries between
+            # compactions see a consistent index
+            recorded = self.manifest.get("compacted_segments")
+            if recorded is None:
+                # legacy manifest without coverage info: the compact file
+                # was written over all segments existing at the time
+                return df
+            covered = set(recorded)
+            seg_root = os.path.join(self.path, "segments")
+            extra = (
+                [
+                    os.path.join(seg_root, d, "postings.parquet")
+                    for d in sorted(os.listdir(seg_root))
+                    if d not in covered
+                    and os.path.exists(os.path.join(seg_root, d, "_SUCCESS"))
+                ]
+                if os.path.isdir(seg_root) else []
+            )
+            if extra:
+                df = df.unionByName(spark.read.parquet(*extra))
+            return df
         if self.layout == "segmented":
             return spark.read.parquet(
                 f"{self.path}/segments/seg_*/postings.parquet"

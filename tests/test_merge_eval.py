@@ -42,6 +42,75 @@ def test_merge_equals_whole(spark, tmp_path):
     assert [r["docid"] for r in rm] == [d for d, _ in exp]
 
 
+def test_merge_bucket_invariant_and_pruning(spark, tmp_path):
+    """Rebased blocks must be split at the new bucket boundaries: with
+    offset=120 (not a multiple of span=64) every straddling block of b
+    would otherwise carry docids of two buckets under one label, breaking
+    the invariant block-max pruning relies on (ADVICE round 1, high)."""
+    import numpy as np
+
+    from terrier_spark.compression.vbyte import (
+        decode_positions,
+        decode_scoring_block,
+    )
+
+    corpus = synth_source_corpus(spark, n_docs=200)
+    pdf = corpus.toPandas()
+    half_a = spark.createDataFrame(pdf.iloc[:120])
+    half_b = spark.createDataFrame(pdf.iloc[120:])
+    cfg = IndexConfig(positions=True)
+    span = 64
+    a = build_index(spark, half_a, str(tmp_path / "a"), cfg, bucket_span=span)
+    b = build_index(spark, half_b, str(tmp_path / "b"), cfg, bucket_span=span)
+    merged = merge_indexes(spark, a, b, str(tmp_path / "m"))
+    whole = build_index(spark, corpus, str(tmp_path / "w"), cfg,
+                        bucket_span=span)
+
+    # 1. bucket invariant: every docid of every block is in the labeled
+    # bucket (this is what _prune_buckets assumes)
+    blocks = merged.postings(spark).collect()
+    whole_pos = {}
+    straddle_buckets = set()
+    for r in whole.postings(spark).collect():
+        ids, tfs, _ = decode_scoring_block(r["block"])
+        for d, plist in zip(ids, decode_positions(r["pos"], tfs)):
+            whole_pos[(r["term"], int(d))] = list(plist)
+    merged_pos = {}
+    for r in blocks:
+        ids, tfs, _ = decode_scoring_block(r["block"])
+        assert (ids // span == r["bucket"]).all(), (
+            f"block for {r['term']} bucket {r['bucket']} holds docids "
+            f"{ids.min()}..{ids.max()} outside the bucket"
+        )
+        assert r["n"] == ids.size and r["first_docid"] == ids[0]
+        assert r["last_docid"] == ids[-1]
+        assert r["max_tf"] == int(tfs.max())
+        for d, plist in zip(ids, decode_positions(r["pos"], tfs)):
+            merged_pos[(r["term"], int(d))] = list(plist)
+    # 2. positions survive the split byte-exactly
+    assert merged_pos == whole_pos
+
+    # 3. pruned search on the merged index == unpruned (force pruning on)
+    oracle = OracleIndex(pdf["content"].tolist(), cfg.pipeline)
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 3
+    )
+    q = [("q", " ".join(usable[:4]))]
+    pruned = search(
+        spark, merged, q,
+        QueryConfig(k=15, prune=True, prune_min_postings=1),
+    ).orderBy("rank").collect()
+    full = search(
+        spark, merged, q, QueryConfig(k=15, prune=False)
+    ).orderBy("rank").collect()
+    assert [(r["docid"], round(r["score"], 9)) for r in pruned] == [
+        (r["docid"], round(r["score"], 9)) for r in full
+    ]
+    exp = oracle.search(q[0][1], QueryConfig(k=15))
+    assert [r["docid"] for r in pruned] == [d for d, _ in exp]
+
+
 def test_trec_run_format(spark, tmp_path):
     corpus = synth_source_corpus(spark, n_docs=100)
     store = build_index(spark, corpus, str(tmp_path / "t"), bucket_span=64)

@@ -137,3 +137,99 @@ def test_compaction_preserves_content_and_search(spark, corpus, tmp_path):
     res = search(spark, compacted, [("q", "sym1 sym2 sym3")],
                  QueryConfig(k=10))
     assert res.count() >= 0
+
+
+def test_positional_compaction(spark, corpus, tmp_path):
+    """Positional payloads survive compaction: every (term, docid)
+    position list is byte-identical before/after, and phrase search over
+    the compacted store matches the uncompacted one."""
+    from terrier_spark.compression.vbyte import (
+        decode_positions,
+        decode_scoring_block,
+    )
+    from terrier_spark.query.positional import phrase_docs
+
+    def positions_snapshot(store):
+        out = {}
+        for row in store.postings(spark).collect():
+            ids, tfs, _ = decode_scoring_block(row["block"])
+            for d, plist in zip(ids, decode_positions(row["pos"], tfs)):
+                out[(row["term"], int(d))] = list(plist)
+        return out
+
+    out = str(tmp_path / "pidx")
+    cfg = IndexConfig(positions=True)
+    store = build_index_resumable(spark, corpus, out, cfg, bucket_span=128)
+    before = positions_snapshot(store)
+    phrase_before = sorted(
+        r["docid"] for r in phrase_docs(spark, store, ["sym1", "sym2"]).collect()
+    )
+    compacted = compact_postings(spark, store, cfg)
+    assert compacted.layout == "segmented_compacted"
+    assert positions_snapshot(compacted) == before
+    phrase_after = sorted(
+        r["docid"]
+        for r in phrase_docs(spark, compacted, ["sym1", "sym2"]).collect()
+    )
+    assert phrase_after == phrase_before
+
+
+def test_compaction_keeps_later_segments_visible(spark, corpus, tmp_path):
+    """Segments appended AFTER a compaction must stay queryable (ADVICE
+    round 1, medium): postings() unions the compact file with newer
+    segments, finalize preserves the compacted layout, and a second
+    compaction folds only the new segments in."""
+    import pandas as pd
+
+    from terrier_spark.index.store import IndexStore
+    from terrier_spark.streaming.incremental import IncrementalIndexer
+
+    pdf = synth_source_corpus(spark, n_docs=120).toPandas()
+    out = str(tmp_path / "inc_c")
+    inc = IncrementalIndexer(out, bucket_span=64, compact_every=1,
+                             finalize_every=1)
+    inc.index_batch(spark.createDataFrame(pdf.iloc[:60]).repartition(2), 0)
+    st = IndexStore(out)
+    assert st.layout == "segmented_compacted"
+    assert st.stats["num_docs"] == 60
+
+    # second batch arrives, finalize runs (finalize_every=1) but suppose
+    # compaction lags: simulate by appending via a fresh indexer with
+    # compaction off
+    inc2 = IncrementalIndexer(out, bucket_span=64, compact_every=0,
+                              finalize_every=1)
+    inc2.index_batch(spark.createDataFrame(pdf.iloc[60:]).repartition(2), 1)
+    st = IndexStore(out)
+    # layout stays compacted, stats refreshed over ALL docs
+    assert st.layout == "segmented_compacted"
+    assert st.stats["num_docs"] == 120
+    # postings view includes the new segments: every non-empty docid
+    # scores (the synth corpus has a few empty/stopword-only docs)
+    expected = set(
+        int(r["docid"])
+        for r in st.docs(spark).filter("doclen > 0").collect()
+    )
+    docids = set()
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    for row in st.postings(spark).collect():
+        ids, _, _ = decode_scoring_block(row["block"])
+        docids.update(int(d) for d in ids)
+    assert docids == expected
+    assert len(expected) > 110  # the empty docs are a handful
+
+    # a recompaction folds the new segments into the compact file
+    recompacted = compact_postings(spark, st)
+    seg_names = sorted(
+        d for d in os.listdir(os.path.join(out, "segments"))
+        if os.path.exists(os.path.join(out, "segments", d, "_SUCCESS"))
+    )
+    assert recompacted.manifest["compacted_segments"] == seg_names
+    docids2 = set()
+    for row in recompacted.postings(spark).collect():
+        ids, _, _ = decode_scoring_block(row["block"])
+        docids2.update(int(d) for d in ids)
+    assert docids2 == expected
+    # and compacting again with nothing new is a no-op
+    again = compact_postings(spark, recompacted)
+    assert again.manifest["compacted_segments"] == seg_names

@@ -288,15 +288,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same batch as bm25_topk under the TF_IDF weighting model
-    (matching/models/TF_IDF.java)."""
-    from terrier_spark.config import QueryConfig
-
+def _model_topk(spark: SparkSession, sf_dir: str, model: str) -> DataFrame:
+    """Gate query batch under a registry weighting model, rounded and
+    re-ranked to the gate's comparable form."""
     store = gate_index(spark, sf_dir)
     queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
     qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True,
-                       model="TF_IDF")
+                       model=model)
     res = search(spark, store, queries, qcfg)
     res = _docno_as_doc_id(res, store, spark)
     res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
@@ -308,28 +306,34 @@ def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") < GATE_K)
         .select("qid", "doc_id", "score_r", "rank")
     )
+
+
+def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch as bm25_topk under the TF_IDF weighting model
+    (matching/models/TF_IDF.java)."""
+    return _model_topk(spark, sf_dir, "TF_IDF")
 
 
 def q_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same batch under DirichletLM (matching/models/DirichletLM.java,
     mu=2500, no qtf multiplier — reference quirk)."""
-    from terrier_spark.config import QueryConfig
+    return _model_topk(spark, sf_dir, "DirichletLM")
 
-    store = gate_index(spark, sf_dir)
-    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
-    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True,
-                       model="DirichletLM")
-    res = search(spark, store, queries, qcfg)
-    res = _docno_as_doc_id(res, store, spark)
-    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score_r").desc(), F.col("doc_id").asc()
-    )
-    return (
-        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
-        .filter(F.col("rank") < GATE_K)
-        .select("qid", "doc_id", "score_r", "rank")
-    )
+
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch under PL2 (matching/models/PL2.java, c=1)."""
+    return _model_topk(spark, sf_dir, "PL2")
+
+
+def q_inl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch under InL2 (matching/models/InL2.java, c=1)."""
+    return _model_topk(spark, sf_dir, "InL2")
+
+
+def q_dph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch under the parameter-free DPH
+    (matching/models/DPH.java)."""
+    return _model_topk(spark, sf_dir, "DPH")
 
 
 # structured gate query: score {fast, merge, scan}, require 'merge',
@@ -517,6 +521,84 @@ QUALIFY rank < {k}
 """
 
 
+def _dfr_model_sql(score_expr: str, k: int = GATE_K) -> str:
+    """Shared top-k oracle template: per-(query-term, doc) rows expose
+    tf, dl, tfn (Normalisation2, c=1), nt, f (collection term frequency),
+    n, avgdl, t; `score_expr` computes the per-term score from them
+    (qtf = 1 in the gate set)."""
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE AS t,
+         (SELECT COUNT(*) FROM toks)::DOUBLE
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+),
+ntt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM toks GROUP BY term
+),
+ctf AS (
+  SELECT term, COUNT(*)::DOUBLE AS f FROM toks GROUP BY term
+),
+q(qid, term) AS (VALUES {_query_values()}),
+rows_ AS (
+  SELECT q.qid, tf.doc_id,
+         tf.tf AS tf, dl.dl AS dl,
+         tf.tf * log2(1.0 + consts.avgdl / dl.dl) AS tfn,
+         ntt.nt AS nt, ctf.f AS f,
+         consts.n AS n, consts.avgdl AS avgdl, consts.t AS t
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = q.term
+  JOIN ctf ON ctf.term = q.term
+  CROSS JOIN consts
+),
+scored AS (
+  SELECT qid, doc_id, SUM({score_expr}) AS score
+  FROM rows_ GROUP BY qid, doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored
+QUALIFY rank < {k}
+"""
+
+
+# log2(e) spelled as 1/ln(2) so DuckDB computes the identical double
+_L2E = "(1.0 / ln(2.0))"
+
+# PL2.java score() with c=1, qtf=1
+_PL2_EXPR = f"""(1.0 / (tfn + 1.0)) * (
+    tfn * log2(n / f)
+    + (f / n) * {_L2E}
+    + 0.5 * log2(2.0 * pi() * tfn)
+    + tfn * (log2(tfn) - {_L2E})
+)"""
+
+# InL2.java score() with c=1, qtf=1; idfDFR = log2((N+1)/(nt+0.5))
+_INL2_EXPR = """tfn * log2((n + 1.0) / (nt + 0.5)) / (tfn + 1.0)"""
+
+# DPH.java score(), parameter-free, qtf=1
+_DPH_EXPR = """(
+    pow(1.0 - tf / dl, 2) / (tf + 1.0)
+) * (
+    tf * log2((tf * avgdl / dl) * (n / f))
+    + 0.5 * log2(2.0 * pi() * tf * (1.0 - tf / dl))
+)"""
+
+
 def _structured_sql(k: int = GATE_K) -> str:
     terms_vals = ", ".join(
         f"('q1', '{t}')" for t in STRUCTURED_SCORE_TERMS
@@ -578,6 +660,9 @@ IR_QUERIES = {
     "lexicon": q_lexicon,
     "tf_idf_topk": q_tf_idf_topk,
     "dirichlet_topk": q_dirichlet_topk,
+    "pl2_topk": q_pl2_topk,
+    "inl2_topk": q_inl2_topk,
+    "dph_topk": q_dph_topk,
     "structured_topk": q_structured_topk,
     "doc_lengths": q_doc_lengths,
     "collection_stats": q_collection_stats,
@@ -621,6 +706,9 @@ GROUP BY term, doc_id
     "bm25_topk": _bm25_sql(),
     "tf_idf_topk": _tf_idf_sql(),
     "dirichlet_topk": _dirichlet_sql(),
+    "pl2_topk": _dfr_model_sql(_PL2_EXPR),
+    "inl2_topk": _dfr_model_sql(_INL2_EXPR),
+    "dph_topk": _dfr_model_sql(_DPH_EXPR),
     "structured_topk": _structured_sql(),
     "boolean_and": f"""
 WITH {TOKS_CTE}

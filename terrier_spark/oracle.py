@@ -77,6 +77,103 @@ class OracleFieldIndex:
                 acc[docid] = acc.get(docid, 0.0) + s
         return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def search_field_model(self, query: str, model: str, k: int = 1000,
+                           weights=None, cs=None) -> List[Tuple[int, float]]:
+        """Literal per-posting ports of the reference field models —
+        PL2F (PerFieldNormWeightingModel.java:117-132 with PL x
+        Normalisation2), ML2 (ML2.java:137-163), MDL2 (MDL2.java:132-166,
+        including its `if (tff[fi] > 0) continue;` loop condition) — used
+        to verify the engine's vectorized kernels independently."""
+        import numpy as _np
+
+        pipe = make_pipeline(self.pipeline)
+        qcounts = Counter(pipe.query_terms(query))
+        w = list(weights or [1.0] * self.nf)
+        c = list(cs or [1.0] * self.nf)
+        av = self.avg_field_lens
+        N = self.num_docs
+        ln2 = math.log(2.0)
+        log2 = math.log2
+        acc: Dict[int, float] = {}
+
+        def norm2(tf, fl, fi):
+            if fl == 0:
+                return float(tf)
+            return tf * log2(1.0 + c[fi] * av[fi] / fl)
+
+        for term, qtf in qcounts.items():
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            nt = len(plist)
+            F = float(sum(sum(v) for v in plist.values()))
+            for docid, ftf in plist.items():
+                flens = self.field_lens[docid]
+                if model == "PL2F":
+                    tfn = sum(
+                        w[fi] * norm2(ftf[fi], flens[fi], fi)
+                        for fi in range(self.nf) if ftf[fi]
+                    )
+                    if tfn == 0.0:
+                        continue
+                    f = F / N
+                    s = (1.0 / (tfn + 1.0)) * qtf * (
+                        tfn * log2(1.0 / f)
+                        + f / ln2
+                        + 0.5 * log2(2 * math.pi * tfn)
+                        + tfn * (log2(tfn) - 1.0 / ln2)
+                    )
+                elif model == "ML2":
+                    p_i = 1.0 / (self.nf * N)
+                    score = -math.lgamma(F + 1.0) / ln2
+                    q, tf_q, denom = 1.0, F, 0.0
+                    for fi in range(self.nf):
+                        if ftf[fi] == 0:
+                            continue
+                        tfn_i = norm2(ftf[fi], flens[fi], fi)
+                        score += (
+                            math.lgamma(tfn_i + 1.0) - tfn_i * math.log(p_i)
+                        ) / ln2
+                        denom += tfn_i
+                        tf_q -= tfn_i
+                        q -= p_i
+                    lg = (
+                        math.lgamma(tf_q + 1.0)
+                        if tf_q + 1.0 > 0 else float("nan")
+                    )
+                    score += (lg - tf_q * _np.log(q)) / ln2
+                    s = qtf * score / (denom + 1.0)
+                elif model == "MDL2":
+                    fwt = float(sum(1 for v in ftf if v > 0))
+                    q, tf_q, denom = 1.0, F, 0.0
+                    score = (fwt / 2.0) * math.log(
+                        2.0 * math.pi * F
+                    ) / ln2
+                    for fi in range(self.nf):
+                        if ftf[fi] > 0:  # literal reference condition
+                            continue
+                        p_ = 1.0 / N * fwt * w[fi]
+                        tfn_i = norm2(ftf[fi], flens[fi], fi)
+                        tf_q -= tfn_i
+                        denom += tfn_i
+                        q -= p_
+                        with _np.errstate(divide="ignore", invalid="ignore"):
+                            tmp = tfn_i * _np.log(
+                                tfn_i / (F * p_)
+                            ) / ln2 + _np.log(tfn_i / F) / (2.0 * ln2)
+                        if tmp > 0:
+                            score += float(tmp)
+                    with _np.errstate(divide="ignore", invalid="ignore"):
+                        score += float(
+                            tf_q * _np.log(tf_q / (F * q)) / ln2
+                            + _np.log(tf_q / F) / (2.0 * ln2)
+                        )
+                    s = qtf * score / (denom + 1.0)
+                else:
+                    raise ValueError(model)
+                acc[docid] = acc.get(docid, 0.0) + s
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
 
 class OracleIndex:
     def __init__(self, contents: Sequence[str], pipeline: PipelineConfig):

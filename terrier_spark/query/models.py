@@ -20,6 +20,7 @@ unpruned.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 from typing import Callable, Dict
 
@@ -150,7 +151,283 @@ def ifb2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
     return TF * qtf * np.log2((N + 1.0) / (F + 0.5)) * NORM
 
 
-def bm25f(ftf, fln, qtf, nt, N, weights, cs, avg_flens, k1=1.2, k3=8.0):
+def lemur_tf_idf(tf, dl, qtf, nt, F, N, avgdl, num_tokens, k1=1.2, b=0.75):
+    """LemurTF_IDF.java score(): Robertson tf x log2(N/nt)^2."""
+    tf, dl, qtf, nt = _f64(tf, dl, qtf, nt)
+    rob = k1 * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    return qtf * rob * np.log2(N / nt) ** 2
+
+
+def _stirling(n, m):
+    """WeightingModelLibrary.stirlingPower: (m+0.5)log2(n/m)+(n-m)log2(n)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (m + 0.5) * np.log2(n / m) + (n - m) * np.log2(n)
+
+
+def bb2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
+    """BB2.java score(): Bose-Einstein (Bernoulli ratio B) with
+    after-effect B and normalisation 2."""
+    tf, dl, qtf, nt, F = _f64(tf, dl, qtf, nt, F)
+    TF = tf * np.log2(1.0 + (c * avgdl) / dl)
+    NORM = (F + 1.0) / (nt * (TF + 1.0))
+    return NORM * qtf * (
+        -np.log2(N - 1.0) - LOG2E
+        + _stirling(N + F - 1.0, N + F - TF - 2.0)
+        - _stirling(F, F - TF)
+    )
+
+
+def dfr_bm25(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0,
+             k1=1.2, k3=1000.0):
+    """DFR_BM25.java score() (k_3 = 1000 in the DFR variant)."""
+    tf, dl, qtf, nt = _f64(tf, dl, qtf, nt)
+    TF = tf * np.log2(1.0 + (c * avgdl) / dl)
+    NORM = 1.0 / (TF + k1)
+    return ((k3 + 1.0) * qtf / (k3 + qtf)) * NORM * TF * np.log2(
+        (N - nt + 0.5) / (nt + 0.5)
+    )
+
+
+def dfree(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """DFRee.java score() (parameter-free)."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prior = tf / dl
+        posterior = (tf + 1.0) / (dl + 1.0)
+        inv_prior_c = num_tokens / F
+        norm = tf * np.log2(posterior / prior)
+        return qtf * norm * (
+            tf * (-np.log2(prior * inv_prior_c))
+            + (tf + 1.0) * np.log2(posterior * inv_prior_c)
+            + 0.5 * np.log2(posterior / prior)
+        )
+
+
+def dfree_klim(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """DFReeKLIM.java score() (parameter-free)."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_true = tf / dl
+        p_smooth = (tf + 1.0) / (dl + 1.0)
+        prior = F / num_tokens
+        kl1 = np.log2(p_smooth / p_true)
+        kl2 = np.log2(p_true / prior)
+        return qtf * tf * kl1 * kl2
+
+
+def dfic(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """DFIC.java score(): chi-squared divergence from independence;
+    0 when tf <= expected."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    e = (F * dl) / num_tokens
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi = ((tf - e) ** 2) / e + 1.0
+        s = qtf * np.log2(chi)
+    return np.where(tf <= e, 0.0, s)
+
+
+def dfiz(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """DFIZ.java score(): z-score divergence from independence;
+    0 when tf <= expected."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    e = (F * dl) / num_tokens
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (tf - e) / np.sqrt(e) + 1.0
+        s = qtf * np.log2(z)
+    return np.where(tf <= e, 0.0, s)
+
+
+def js_kls(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """Js_KLs.java score() (parameter-free)."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mle = tf / dl
+        sp = (tf + 1.0) / (dl + 1.0)
+        cp = F / num_tokens
+        js = (dl / (dl + 1.0)) * (1.0 - mle) * np.log2((tf + 1.0) / tf)
+        kls = np.log2(sp / cp) + tf * np.log2(1.0 + 1.0 / tf)
+        return qtf * tf * js * kls
+
+
+def xsqra_m(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """XSqrA_M.java score() (parameter-free)."""
+    tf, dl, qtf, F = _f64(tf, dl, qtf, F)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mle = tf / dl
+        sp = (tf + 1.0) / (dl + 1.0)
+        cp = F / num_tokens
+        xsqra = (1.0 - mle) ** 2 / (tf + 1.0)
+        delta = (
+            (tf + 1.0) * np.log2(sp / cp)
+            - tf * np.log2(mle / cp)
+            + 0.5 * np.log2(sp / mle)
+        )
+        return qtf * tf * xsqra * delta
+
+
+def in_expc2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
+    """In_expC2.java score() — NOTE the reference uses the NATURAL log for
+    the tf normalisation here (Math.log, not WeightingModelLibrary.log),
+    replicated exactly."""
+    tf, dl, qtf, nt, F = _f64(tf, dl, qtf, nt, F)
+    TF = tf * np.log(1.0 + (c * avgdl) / dl)
+    NORM = (F + 1.0) / (nt * (TF + 1.0))
+    f = F / N
+    n_exp = N * (1.0 - np.exp(-f))
+    return TF * np.log2((N + 1.0) / (n_exp + 0.5)) * qtf * NORM
+
+
+def inb2(tf, dl, qtf, nt, F, N, avgdl, num_tokens, c=1.0):
+    """InB2.java score()."""
+    tf, dl, qtf, nt, F = _f64(tf, dl, qtf, nt, F)
+    TF = tf * np.log2(1.0 + (c * avgdl) / dl)
+    NORM = (F + 1.0) / (nt * (TF + 1.0))
+    return TF * qtf * np.log2((N + 1.0) / (nt + 0.5)) * NORM
+
+
+def dl_model(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """Dl.java score(): the document length itself (diagnostic model)."""
+    tf, dl = _f64(tf, dl)
+    return dl + 0.0 * tf
+
+
+def tf_model(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+    """Tf.java score(): the raw term frequency (diagnostic model)."""
+    tf, dl = _f64(tf, dl)
+    return tf + 0.0 * dl
+
+
+# --------------------------------------------------------------------------
+# Composable DFR framework (matching/models/DFRWeightingModel.java):
+# score = aftereffect.gain(tfn) * basicmodel.score(tfn), with
+# tfn = normalisation.normalise(tf).  Component formulas are exact ports of
+# models/basicmodel/*.java, models/aftereffect/*.java and
+# models/normalisation/Normalisation*.java; all logs base 2 except where
+# the reference uses Math.log (Normalisation 2exp).
+# Names compose as "DFR(<basic>,<aftereffect>,<normalisation>[,c])", empty
+# component = disabled, e.g. "DFR(In_exp,B,2)" == In_expB2,
+# "DFR(DFR_BM,,2)" == DFR_BM25.
+
+def _idf_dfr(x, N):
+    """Idf.idfDFR (Idf.java:87-89): log2((N+1)/(x+0.5))."""
+    return np.log2((N + 1.0) / (x + 0.5))
+
+
+def _poisson_sum(tfn, f):
+    """The shared P/PL/Br Poisson approximation term."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (
+            tfn * np.log2(1.0 / f)
+            + f * LOG2E
+            + 0.5 * np.log2(2 * math.pi * tfn)
+            + tfn * (np.log2(tfn) - LOG2E)
+        )
+
+
+# basic model: fn(tfn, nt, F, qtf, dl, N, num_tokens) -> score
+DFR_BASIC_MODELS = {
+    "B": lambda tfn, nt, F, qtf, dl, N, T: qtf * (
+        -np.log2(N - 1.0) - LOG2E
+        + _stirling(N + F - 1.0, N + F - tfn - 2.0)
+        - _stirling(F, F - tfn)
+    ),
+    "BM": lambda tfn, nt, F, qtf, dl, N, T: (
+        ((8.0 + 1.0) * qtf / (8.0 + qtf))
+        * ((1.2 + 1.0) * tfn / (1.2 + tfn))
+        * np.log2((N - nt + 0.5) / (nt + 0.5))
+    ),
+    "Br": lambda tfn, nt, F, qtf, dl, N, T: qtf * _poisson_sum(tfn, dl / T),
+    "IF": lambda tfn, nt, F, qtf, dl, N, T: qtf * tfn * _idf_dfr(F, N),
+    "In": lambda tfn, nt, F, qtf, dl, N, T: qtf * tfn * _idf_dfr(nt, N),
+    "In_exp": lambda tfn, nt, F, qtf, dl, N, T: qtf * tfn * _idf_dfr(
+        N * (1.0 - np.exp(-(F / N))), N
+    ),
+    "P": lambda tfn, nt, F, qtf, dl, N, T: qtf * _poisson_sum(tfn, F / N),
+    "PL": lambda tfn, nt, F, qtf, dl, N, T: (
+        (1.0 / (tfn + 1.0)) * qtf * _poisson_sum(tfn, F / N)
+    ),
+    "DFR_BM": lambda tfn, nt, F, qtf, dl, N, T: (
+        ((1000.0 + 1.0) * qtf / (1000.0 + qtf))
+        * (1.0 / (tfn + 1.2))
+        * tfn
+        * np.log2((N - nt + 0.5) / (nt + 0.5))
+    ),
+}
+
+# after effect (first normalisation): fn(tfn, nt, F, c, avgdl) -> gain
+DFR_AFTER_EFFECTS = {
+    "B": lambda tfn, nt, F, c, avgdl: (F + 1.0) / (nt * (tfn + 1.0)),
+    "L": lambda tfn, nt, F, c, avgdl: 1.0 / (1.0 + tfn),
+    "L5": lambda tfn, nt, F, c, avgdl: (
+        (1.0 - tfn / (c * avgdl)) ** 2 / (1.0 + tfn)
+    ),
+    "LL": lambda tfn, nt, F, c, avgdl: np.log2((1.0 + tfn) / tfn),
+}
+
+# frequency normalisation: fn(tf, dl, nt, F, c, avgdl, N, num_tokens) -> tfn
+DFR_NORMALISATIONS = {
+    "0": lambda tf, dl, nt, F, c, avgdl, N, T: tf,
+    "1": lambda tf, dl, nt, F, c, avgdl, N, T: tf * c * avgdl / dl,
+    "2": lambda tf, dl, nt, F, c, avgdl, N, T: np.where(
+        dl == 0, tf, tf * np.log2(1.0 + (c * avgdl) / np.where(dl == 0, 1, dl))
+    ),
+    "2exp": lambda tf, dl, nt, F, c, avgdl, N, T: tf * np.log(
+        1.0 + (c * avgdl) / dl
+    ),
+    "3": lambda tf, dl, nt, F, c, avgdl, N, T: (
+        c * (tf + c * F / T) / (dl + c)
+    ),
+    "B": lambda tf, dl, nt, F, c, avgdl, N, T: tf / (
+        1.0 - c + c * dl / avgdl
+    ),
+    "F": lambda tf, dl, nt, F, c, avgdl, N, T: tf * (c * dl / avgdl),
+    "J": lambda tf, dl, nt, F, c, avgdl, N, T: np.where(
+        dl == 0, tf,
+        ((1.0 - c) * tf / np.where(dl == 0, 1, dl) + c * F / T) * dl,
+    ),
+    "JN": lambda tf, dl, nt, F, c, avgdl, N, T: np.where(
+        dl == 0, tf,
+        ((1.0 - c) * tf / np.where(dl == 0, 1, dl) + c * nt / N) * dl,
+    ),
+    "P": lambda tf, dl, nt, F, c, avgdl, N, T: tf * (avgdl / dl) ** c,
+    "Static": lambda tf, dl, nt, F, c, avgdl, N, T: np.where(
+        dl == 0, tf, np.where(tf == 0, 0.0, c)
+    ),
+}
+
+
+def dfr_kernel(basic: str, after_effect: str = "", normalisation: str = "",
+               c: float = 1.0):
+    """Build a standard-signature kernel composing the three DFR
+    components (DFRWeightingModel.score, :score method).  Empty
+    after_effect/normalisation strings disable that stage, exactly as the
+    reference's ENABLE_* flags do."""
+    bm = DFR_BASIC_MODELS[basic]
+    ae = DFR_AFTER_EFFECTS[after_effect] if after_effect else None
+    norm = DFR_NORMALISATIONS[normalisation] if normalisation else None
+
+    def kernel(tf, dl, qtf, nt, F, N, avgdl, num_tokens):
+        tf, dl, qtf, nt, F = _f64(tf, dl, qtf, nt, F)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tfn = (
+                norm(tf, dl, nt, F, c, avgdl, N, num_tokens)
+                if norm is not None else tf
+            )
+            gain = ae(tfn, nt, F, c, avgdl) if ae is not None else 1.0
+            return gain * bm(tfn, nt, F, qtf, dl, N, num_tokens)
+
+    kernel.__name__ = f"dfr_{basic}_{after_effect}_{normalisation}"
+    return kernel
+
+
+_DFR_NAME = re.compile(
+    r"DFR\(\s*(?P<b>\w+)\s*,?\s*(?P<a>\w*)\s*,?\s*(?P<n>\w*)"
+    r"\s*(?:,\s*(?P<c>[\d.]+))?\s*\)"
+)
+
+
+def bm25f(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens,
+          k1=1.2, k3=8.0):
     """BM25F (matching/models/BM25F.java = PerFieldNormWeightingModel with
     BasicModel BM x NormalisationB, :118-133):
 
@@ -176,6 +453,99 @@ def bm25f(ftf, fln, qtf, nt, N, weights, cs, avg_flens, k1=1.2, k3=8.0):
     return np.where(tfn == 0.0, 0.0, score)
 
 
+def pl2f(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
+    """PL2F (matching/models/PL2F.java = PerFieldNormWeightingModel with
+    BasicModel PL x Normalisation2):
+
+        tfn_i = w_i * tf_i * log2(1 + c_i * avg_len_i / len_i)   [tf_i>0]
+        tfn   = sum_i tfn_i;  0 -> score 0
+        score = PL(tfn) = (1/(tfn+1)) * qtf * Poisson-sum(tfn, F/N)
+    """
+    ftf = np.asarray(ftf, dtype=np.float64)
+    fln = np.asarray(fln, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    c = np.asarray(cs, dtype=np.float64)
+    av = np.asarray(avg_flens, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # Normalisation2: dl==0 -> tf (reference Normalisation2.java guard)
+        tfn_i = np.where(
+            ftf > 0,
+            w * np.where(fln == 0, ftf,
+                         ftf * np.log2(1.0 + c * av / np.where(fln == 0, 1, fln))),
+            0.0,
+        )
+        tfn = tfn_i.sum(axis=1)
+        score = (1.0 / (tfn + 1.0)) * qtf * _poisson_sum(tfn, float(F) / N)
+    return np.where(tfn == 0.0, 0.0, score)
+
+
+_lgamma = np.frompyfunc(
+    lambda x: math.lgamma(x) if x > 0 else float("nan"), 1, 1
+)
+
+
+def ml2(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
+    """ML2 (matching/models/ML2.java:137-163, multinomial randomness over
+    fields, Plachouras & Ounis ECIR 2007): per-field Normalisation2 tfn,
+    gamma-function log terms, field priors p_i = 1/(nf*N).
+
+        score = [ -lnG(F+1) + sum_i (lnG(tfn_i+1) - tfn_i ln p_i)
+                  + lnG(tf_q+1) - tf_q ln q ] / (ln2 * (sum_i tfn_i + 1))
+        tf_q = F - sum_i tfn_i,  q = 1 - sum_{i: tf_i>0} p_i
+    """
+    ftf = np.asarray(ftf, dtype=np.float64)
+    fln = np.asarray(fln, dtype=np.float64)
+    c = np.asarray(cs, dtype=np.float64)
+    av = np.asarray(avg_flens, dtype=np.float64)
+    nf = ftf.shape[1]
+    p_i = 1.0 / (nf * float(N))  # ML2.java:114 (p.<fi> adjust default 1)
+    ln2 = math.log(2.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tfn_i = np.where(
+            ftf > 0,
+            np.where(fln == 0, ftf,
+                     ftf * np.log2(1.0 + c * av / np.where(fln == 0, 1, fln))),
+            0.0,
+        )
+        mask = ftf > 0
+        field_terms = np.where(
+            mask,
+            (_lgamma(tfn_i + 1.0).astype(np.float64) - tfn_i * math.log(p_i))
+            / ln2,
+            0.0,
+        ).sum(axis=1)
+        denom = tfn_i.sum(axis=1)
+        tf_q = float(F) - denom
+        q = 1.0 - mask.sum(axis=1) * p_i
+        score = (
+            -math.lgamma(float(F) + 1.0) / ln2
+            + field_terms
+            + (_lgamma(tf_q + 1.0).astype(np.float64) - tf_q * np.log(q)) / ln2
+        ) / (denom + 1.0)
+    return qtf * score
+
+
+def mdl2(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
+    """MDL2 (matching/models/MDL2.java:132-166), ported LITERALLY incl.
+    the reference's loop condition `if (tff[fi] > 0) continue;`: fields
+    CONTAINING the term are skipped, fields without it contribute only
+    q -= fieldsWithTerm * w_i / N (their tfn is 0, and the tmp term is
+    NaN so never added).  The net per-posting score is therefore
+
+        score = qtf * ( (fwt/2) * log2(2*pi*F) + F * log2(1/q) )
+        q = 1 - sum_{i: tf_i==0} fwt * w_i / N,  fwt = #fields with term
+    """
+    ftf = np.asarray(ftf, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fwt = (ftf > 0).sum(axis=1).astype(np.float64)
+        q = 1.0 - ((ftf == 0) * (fwt[:, None] * w / float(N))).sum(axis=1)
+        score = (fwt / 2.0) * np.log2(2 * math.pi * float(F)) + float(
+            F
+        ) * np.log2(1.0 / q)
+    return qtf * score
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     kernel: Callable
@@ -197,9 +567,26 @@ MODELS: Dict[str, ModelSpec] = {
     # TF/(TF+1) increasing in TF and the rest constant per term -> monotone
     "In_expB2": ModelSpec(in_expb2, True),
     "IFB2": ModelSpec(ifb2, True),
+    "LemurTF_IDF": ModelSpec(lemur_tf_idf, True),
+    "BB2": ModelSpec(bb2, False),        # Bose-Einstein term not monotone
+    "DFR_BM25": ModelSpec(dfr_bm25, True),
+    "DFRee": ModelSpec(dfree, False),
+    "DFReeKLIM": ModelSpec(dfree_klim, False),
+    "DFIC": ModelSpec(dfic, False),      # thresholded at the expectation
+    "DFIZ": ModelSpec(dfiz, False),
+    "Js_KLs": ModelSpec(js_kls, False),
+    "XSqrA_M": ModelSpec(xsqra_m, False),
+    "In_expC2": ModelSpec(in_expc2, True),
+    "InB2": ModelSpec(inb2, True),
+    # Dl grows with doc length, so (max_tf, min_dl) does NOT bound it
+    "Dl": ModelSpec(dl_model, False),
+    "Tf": ModelSpec(tf_model, True),
     # field-aware: needs ftf/fln block vectors (per-field bounds are not
     # captured by (max_tf, min_dl), so no block-max pruning)
     "BM25F": ModelSpec(bm25f, False, needs_fields=True),
+    "PL2F": ModelSpec(pl2f, False, needs_fields=True),
+    "ML2": ModelSpec(ml2, False, needs_fields=True),
+    "MDL2": ModelSpec(mdl2, False, needs_fields=True),
 }
 
 
@@ -207,9 +594,31 @@ def get_model(name: str) -> ModelSpec:
     try:
         return MODELS[name]
     except KeyError:
-        raise ValueError(
-            f"unknown weighting model {name!r}; available: {sorted(MODELS)}"
-        ) from None
+        pass
+    # composable DFR framework names: "DFR(<basic>,<aftereffect>,<norm>[,c])"
+    m = _DFR_NAME.fullmatch(name.strip())
+    if m:
+        try:
+            spec = ModelSpec(
+                dfr_kernel(
+                    m.group("b"), m.group("a") or "", m.group("n") or "",
+                    float(m.group("c")) if m.group("c") else 1.0,
+                ),
+                prunable=False,  # conservative: composed bound not proven
+            )
+        except KeyError as e:
+            raise ValueError(
+                f"unknown DFR component {e} in {name!r}; basic models: "
+                f"{sorted(DFR_BASIC_MODELS)}, after effects: "
+                f"{sorted(DFR_AFTER_EFFECTS)}, normalisations: "
+                f"{sorted(DFR_NORMALISATIONS)}"
+            ) from None
+        MODELS[name] = spec  # memoize so repeated lookups share the kernel
+        return spec
+    raise ValueError(
+        f"unknown weighting model {name!r}; available: {sorted(MODELS)} "
+        "or DFR(<basic>,<aftereffect>,<normalisation>[,c])"
+    )
 
 
 def score_scalar(name: str, tf: float, dl: float, qtf: float, nt: int,

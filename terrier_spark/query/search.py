@@ -116,8 +116,8 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
                     fln = vbyte_decode(row.fln, ids.size * nf).reshape(
                         ids.size, nf
                     )
-                    scores = kernel(ftf, fln, row.qtf, row.nt, N,
-                                    weights, cs, avg_flens)
+                    scores = kernel(ftf, fln, row.qtf, row.nt, row.tfc, N,
+                                    weights, cs, avg_flens, T)
                 else:
                     scores = kernel(tfs, dls, row.qtf, row.nt, row.tfc,
                                     N, avgdl, T)

@@ -33,10 +33,11 @@ def test_bm25f_kernel_golden():
         * (2.2 * tfn / (1.2 + tfn))
         * math.log2((N - nt + 0.5) / (nt + 0.5))
     )
-    got = bm25f(ftf, fln, qtf, nt, N, w, c, avg)
+    got = bm25f(ftf, fln, qtf, nt, 500, N, w, c, avg, 100_000)
     assert float(got[0]) == pytest.approx(exp, rel=1e-12)
     # zero in one field: that field contributes nothing
-    got0 = bm25f(np.array([[0.0, 0.0]]), fln, qtf, nt, N, w, c, avg)
+    got0 = bm25f(np.array([[0.0, 0.0]]), fln, qtf, nt, 500, N, w, c, avg,
+                 100_000)
     assert float(got0[0]) == 0.0
 
 

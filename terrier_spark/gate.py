@@ -336,6 +336,96 @@ def q_dph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _model_topk(spark, sf_dir, "DPH")
 
 
+# --------------------------------------------------------------------------
+# field gate: a second index with per-field postings over the documents
+# table; field 0 = "source" (the table's source column, canonicalised to
+# corpus `repo`), field 1 = "content" (text)
+# --------------------------------------------------------------------------
+
+FIELD_GATE_COLS = (("source", "repo"), ("content", "content"))
+# 'source:src1' keeps docs of source src1 untouched (the token never
+# occurs in text); 'source:slow' excludes every doc where 'slow' appears
+# (it only ever occurs in content) — exercising both directions of
+# TermInFieldModifier
+FIELD_RESTRICT_QUERY = "data row source:src1 source:slow"
+
+_FIELD_INDEX_CACHE: dict[str, IndexStore] = {}
+
+
+def gate_field_index(spark: SparkSession, sf_dir: str) -> IndexStore:
+    key = os.path.abspath(sf_dir)
+    store = _FIELD_INDEX_CACHE.get(key)
+    if store is not None:
+        return store
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "terrier_spark_gate_field_v1",
+        key.strip("/").replace("/", "_"),
+    )
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        corpus = load_documents_corpus(spark, sf_dir)
+        cfg = IndexConfig(pipeline=SQL_SAFE_PIPELINE,
+                          field_cols=FIELD_GATE_COLS)
+        build_index(spark, corpus, out, cfg, bucket_span=1024)
+    store = IndexStore(out)
+    _FIELD_INDEX_CACHE[key] = store
+    return store
+
+
+def _field_model_topk(spark: SparkSession, sf_dir: str,
+                      model: str) -> DataFrame:
+    store = gate_field_index(spark, sf_dir)
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, model=model)
+    res = search(spark, store, queries, qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F over the (source, content) field index
+    (PerFieldNormWeightingModel BM x NormalisationB)."""
+    return _field_model_topk(spark, sf_dir, "BM25F")
+
+
+def q_single_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SingleFieldModel(BM25, content): BM25 on the content field's tf
+    and length only, with global statistics
+    (matching/models/SingleFieldModel.java)."""
+    return _field_model_topk(spark, sf_dir, "SingleField(BM25,1)")
+
+
+def q_field_restrict_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field:term restriction through the structured path
+    (matching/tsms/TermInFieldModifier.java: docs with the term
+    out-of-field only are dropped; absent docs unaffected)."""
+    from terrier_spark.query.structured import search_structured
+
+    store = gate_field_index(spark, sf_dir)
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False)
+    res = search_structured(
+        spark, store, [("q1", FIELD_RESTRICT_QUERY)], qcfg
+    )
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
 # structured gate query: score {fast, merge, scan}, require 'merge',
 # exclude docs containing 'window'
 STRUCTURED_QUERY = "fast +merge -window scan"
@@ -599,6 +689,155 @@ _DPH_EXPR = """(
 )"""
 
 
+# per-field token streams for the field gate: fi 0 = source, fi 1 = text
+FIELD_TOKS_CTE = f"""
+raw0 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(source, '[A-Za-z0-9]+'),
+                x -> len(x) <= {MAX_TERM_LEN}
+                     AND NOT regexp_matches(x, '{DIGITS5_RE}')
+                     AND NOT regexp_matches(x, '{CONSEQ4_RE}'))) AS tok
+  FROM documents
+),
+raw1 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                x -> len(x) <= {MAX_TERM_LEN}
+                     AND NOT regexp_matches(x, '{DIGITS5_RE}')
+                     AND NOT regexp_matches(x, '{CONSEQ4_RE}'))) AS tok
+  FROM documents
+),
+ftoks AS (
+  SELECT doc_id, lower(tok) AS term, 0 AS fi FROM raw0
+  WHERE lower(tok) NOT IN ({_STOP_LIST})
+  UNION ALL
+  SELECT doc_id, lower(tok) AS term, 1 AS fi FROM raw1
+  WHERE lower(tok) NOT IN ({_STOP_LIST})
+),
+ftf AS (
+  SELECT doc_id, term,
+         SUM(CASE WHEN fi = 0 THEN 1 ELSE 0 END)::DOUBLE AS tf0,
+         SUM(CASE WHEN fi = 1 THEN 1 ELSE 0 END)::DOUBLE AS tf1
+  FROM ftoks GROUP BY doc_id, term
+),
+flen AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN t.fi = 0 THEN 1 END), 0)::DOUBLE AS len0,
+         COALESCE(SUM(CASE WHEN t.fi = 1 THEN 1 END), 0)::DOUBLE AS len1
+  FROM documents d LEFT JOIN ftoks t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+fconsts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT SUM(len0) FROM flen)
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avg0,
+         (SELECT SUM(len1) FROM flen)
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avg1
+),
+fnt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM ftoks GROUP BY term
+)"""
+
+_TOPK_TAIL = f"""
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored
+QUALIFY rank < {GATE_K}
+"""
+
+
+def _bm25f_sql() -> str:
+    """BM25F with w=c=1 (NormalisationB tfn_i = tf_i * avg_i / len_i;
+    qtf=1 so the k3 factor is 1)."""
+    return f"""
+WITH {FIELD_TOKS_CTE},
+q(qid, term) AS (VALUES {_query_values()}),
+scored AS (
+  SELECT q.qid, ftf.doc_id,
+         SUM(
+           (2.2 * tfn / (1.2 + tfn))
+           * log2((fconsts.n - fnt.nt + 0.5) / (fnt.nt + 0.5))
+         ) AS score
+  FROM q
+  JOIN ftf ON ftf.term = q.term
+  JOIN flen ON flen.doc_id = ftf.doc_id
+  JOIN fnt ON fnt.term = q.term
+  CROSS JOIN fconsts
+  CROSS JOIN LATERAL (SELECT
+      CASE WHEN ftf.tf0 > 0 THEN ftf.tf0 * fconsts.avg0 / flen.len0 ELSE 0 END
+      + CASE WHEN ftf.tf1 > 0 THEN ftf.tf1 * fconsts.avg1 / flen.len1 ELSE 0 END
+      AS tfn) _
+  GROUP BY q.qid, ftf.doc_id
+)
+{_TOPK_TAIL}
+"""
+
+
+def _single_field_sql() -> str:
+    """SingleFieldModel(BM25, content): tf/dl from the content field,
+    nt and avgdl (= avg0 + avg1, the global average doclen) global."""
+    return f"""
+WITH {FIELD_TOKS_CTE},
+q(qid, term) AS (VALUES {_query_values()}),
+scored AS (
+  SELECT q.qid, ftf.doc_id,
+         SUM(
+           ftf.tf1
+           / (1.2 * (0.25 + 0.75 * flen.len1 / (fconsts.avg0 + fconsts.avg1))
+              + ftf.tf1)
+           * log2((fconsts.n - fnt.nt + 0.5) / (fnt.nt + 0.5))
+         ) AS score
+  FROM q
+  JOIN ftf ON ftf.term = q.term AND ftf.tf1 > 0
+  JOIN flen ON flen.doc_id = ftf.doc_id
+  JOIN fnt ON fnt.term = q.term
+  CROSS JOIN fconsts
+  GROUP BY q.qid, ftf.doc_id
+)
+{_TOPK_TAIL}
+"""
+
+
+def _field_restrict_sql() -> str:
+    """BM25 whole-doc scoring of {data, row, src1, slow} minus docs where
+    a restricted term occurs but not in the source field."""
+    terms_vals = ", ".join(
+        f"('q1', '{t}')" for t in ["data", "row", "src1", "slow"]
+    )
+    return f"""
+WITH {FIELD_TOKS_CTE},
+q(qid, term) AS (VALUES {terms_vals}),
+scored0 AS (
+  SELECT q.qid, ftf.doc_id,
+         SUM(
+           (ftf.tf0 + ftf.tf1)
+           / (1.2 * (0.25 + 0.75 * (flen.len0 + flen.len1)
+                     / (fconsts.avg0 + fconsts.avg1))
+              + ftf.tf0 + ftf.tf1)
+           * log2((fconsts.n - fnt.nt + 0.5) / (fnt.nt + 0.5))
+         ) AS score
+  FROM q
+  JOIN ftf ON ftf.term = q.term
+  JOIN flen ON flen.doc_id = ftf.doc_id
+  JOIN fnt ON fnt.term = q.term
+  CROSS JOIN fconsts
+  GROUP BY q.qid, ftf.doc_id
+),
+scored AS (
+  SELECT s.* FROM scored0 s
+  WHERE NOT EXISTS (SELECT 1 FROM ftf
+                    WHERE ftf.doc_id = s.doc_id
+                      AND ftf.term IN ('src1', 'slow')
+                      AND ftf.tf0 = 0)
+)
+{_TOPK_TAIL}
+"""
+
+
 def _structured_sql(k: int = GATE_K) -> str:
     terms_vals = ", ".join(
         f"('q1', '{t}')" for t in STRUCTURED_SCORE_TERMS
@@ -663,6 +902,9 @@ IR_QUERIES = {
     "pl2_topk": q_pl2_topk,
     "inl2_topk": q_inl2_topk,
     "dph_topk": q_dph_topk,
+    "bm25f_topk": q_bm25f_topk,
+    "single_field_topk": q_single_field_topk,
+    "field_restrict_topk": q_field_restrict_topk,
     "structured_topk": q_structured_topk,
     "doc_lengths": q_doc_lengths,
     "collection_stats": q_collection_stats,
@@ -709,6 +951,9 @@ GROUP BY term, doc_id
     "pl2_topk": _dfr_model_sql(_PL2_EXPR),
     "inl2_topk": _dfr_model_sql(_INL2_EXPR),
     "dph_topk": _dfr_model_sql(_DPH_EXPR),
+    "bm25f_topk": _bm25f_sql(),
+    "single_field_topk": _single_field_sql(),
+    "field_restrict_topk": _field_restrict_sql(),
     "structured_topk": _structured_sql(),
     "boolean_and": f"""
 WITH {TOKS_CTE}

@@ -122,9 +122,15 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
     from array import array
 
     pipe = make_pipeline(cfg.pipeline)
+    fields = cfg.field_cols  # ordered (field_name, column) pairs or None
+    nf = len(fields) if fields else 0
     doc_rows, meta_rows = [], []
-    # term -> [docids('q'), tfs('i'), dls('i'), flat positions('i')]
+    # term -> [docids('q'), tfs('i'), dls('i'), flat positions('i'),
+    #          flat per-posting field tfs('i', n*nf)]
     acc: dict[str, list] = {}
+    # per-LOCAL-doc field lengths (fln vectors are emitted per posting at
+    # encode time, indexed by docid - offset)
+    flens_rows: list = []
     docid = offset
     sha_acc = hashlib.sha256()
     want_pos = cfg.positions
@@ -133,12 +139,31 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
             content = row.content or ""
             sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
             sha_acc.update(sha.encode())
-            terms = pipe.terms(content)
+            if fields:
+                # per-field token streams, concatenated in field order for
+                # positions/doclen (FieldScore.java:54-86 semantics, same
+                # as the monolithic builder's fused pass)
+                streams = [
+                    pipe.terms(getattr(row, col) or "") for _, col in fields
+                ]
+                terms = [t for s in streams for t in s]
+                ftfmap: dict[str, list[int]] = {}
+                for fi, s in enumerate(streams):
+                    for t in s:
+                        v = ftfmap.get(t)
+                        if v is None:
+                            v = ftfmap[t] = [0] * nf
+                        v[fi] += 1
+                flens_rows.append([len(s) for s in streams])
+            else:
+                terms = pipe.terms(content)
+                ftfmap = None
             dl = len(terms)
             doc_rows.append((docid, row.docno, dl))
             meta_rows.append(
                 (docid, row.docno, row.repo, row.path, row.commit,
                  row.lang, sha, dl)
+                + ((flens_rows[-1],) if fields else ())
             )
             posmap: dict[str, list[int]] = {}
             for pos, t in enumerate(terms):
@@ -147,20 +172,24 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
                 a = acc.get(term)
                 if a is None:
                     a = acc[term] = [array("q"), array("i"), array("i"),
-                                     array("i")]
+                                     array("i"), array("i")]
                 a[0].append(docid)
                 a[1].append(len(plist))
                 a[2].append(dl)
                 if want_pos:
                     a[3].extend(plist)
+                if fields:
+                    a[4].extend(ftfmap[term])
             docid += 1
     docs = pd.DataFrame(doc_rows, columns=["docid", "docno", "doclen"])
-    meta = pd.DataFrame(
-        meta_rows,
-        columns=["docid", "docno", "repo", "path", "commit", "lang",
-                 "sha256", "doclen"],
+    meta_cols = ["docid", "docno", "repo", "path", "commit", "lang",
+                 "sha256", "doclen"] + (["field_lens"] if fields else [])
+    meta = pd.DataFrame(meta_rows, columns=meta_cols)
+    flens_arr = (
+        np.asarray(flens_rows, dtype=np.int64).reshape(-1, nf)
+        if fields else None
     )
-    from terrier_spark.compression.vbyte import encode_positions
+    from terrier_spark.compression.vbyte import encode_positions, vbyte_encode
 
     block_rows = []
     for term in sorted(acc):
@@ -173,6 +202,10 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
             if want_pos else None
         )
         pos_offsets = np.concatenate(([0], np.cumsum(tfs))) if want_pos else None
+        ftf_flat = (
+            np.frombuffer(a[4], dtype=np.int32).astype(np.uint64)
+            if fields else None
+        )
         buckets = ids // bucket_span
         # split at bucket boundaries (ids ascending within a partition),
         # then into block_size chunks within each bucket
@@ -183,10 +216,17 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
             bucket = int(buckets[s])
             for b0 in range(s, e, cfg.block_size):
                 b1 = min(b0 + cfg.block_size, e)
-                pos_bytes = None
+                pos_bytes = ftf_bytes = fln_bytes = None
                 if want_pos:
                     pos_bytes = encode_positions(
                         pos_flat[pos_offsets[b0]: pos_offsets[b1]]
+                    )
+                if fields:
+                    ftf_bytes = vbyte_encode(ftf_flat[b0 * nf: b1 * nf])
+                    fln_bytes = vbyte_encode(
+                        flens_arr[ids[b0:b1] - offset].reshape(-1).astype(
+                            np.uint64
+                        )
                     )
                 block_rows.append(
                     (
@@ -196,17 +236,15 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
                         int(tfs[b0:b1].sum()),
                         encode_scoring_block(ids[b0:b1], tfs[b0:b1],
                                              dls[b0:b1]),
-                        pos_bytes,
+                        pos_bytes, ftf_bytes, fln_bytes,
                     )
                 )
     blocks = pd.DataFrame(
         block_rows,
         columns=["term", "bucket", "block_id", "n", "first_docid",
-                 "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos"],
+                 "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
+                 "ftf", "fln"],
     )
-    # fields are a monolithic-builder feature for now
-    blocks["ftf"] = None
-    blocks["fln"] = None
     return docs, meta, blocks, sha_acc.hexdigest()
 
 
@@ -226,11 +264,6 @@ def build_index_resumable(
     deterministically leaves those segments unbuilt (a reproducible
     "killed after partial completion" state for resume tests)."""
     cfg = cfg or IndexConfig()
-    if cfg.field_cols:
-        raise NotImplementedError(
-            "per-field postings are supported by the monolithic "
-            "build_index only; use it for field/BM25F indexes"
-        )
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     # pin partitioning across the plan job and the build job (see
@@ -341,6 +374,20 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
         "num_pointers": int(lrow["np"] or 0),
         "avg_doclen": (num_tokens / num_docs) if num_docs else 0.0,
     }
+    if cfg.field_cols:
+        nf = len(cfg.field_cols)
+        meta_read = spark.read.parquet(f"{seg_glob}/meta.parquet")
+        frow = meta_read.select(
+            *[
+                F.sum(F.element_at("field_lens", i + 1)).alias(f"f{i}")
+                for i in range(nf)
+            ]
+        ).collect()[0]
+        stats["fields"] = [name for name, _ in cfg.field_cols]
+        stats["avg_field_lens"] = [
+            (int(frow[f"f{i}"] or 0) / num_docs) if num_docs else 0.0
+            for i in range(nf)
+        ]
     elapsed = time.time() - t0
     built = sum(1 for r in ckpt_rows if r["status"] == "built")
     # a prior compaction stays valid: its coverage list tells postings()
@@ -362,6 +409,9 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
         "bucket_span": bucket_span,
         "block_size": cfg.block_size,
         "positions": cfg.positions,
+        "fields": (
+            [list(fc) for fc in cfg.field_cols] if cfg.field_cols else None
+        ),
         "pipeline": asdict(cfg.pipeline) | {
             "stopwords": sorted(cfg.pipeline.stopwords or ())
         },

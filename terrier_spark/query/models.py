@@ -546,6 +546,33 @@ def mdl2(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
     return qtf * score
 
 
+def single_field_kernel(base: str, field_ids: tuple):
+    """SingleFieldModel (matching/models/SingleFieldModel.java): score the
+    base model on (sum of active fields' tfs, sum of active fields'
+    lengths) with GLOBAL collection statistics; tf==0 -> 0.  avgdl is the
+    sum of the per-field averages (doclen = sum of field lengths)."""
+
+    def kernel(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
+        ftf = np.asarray(ftf, dtype=np.float64)
+        fln = np.asarray(fln, dtype=np.float64)
+        ids = list(field_ids)
+        tf = ftf[:, ids].sum(axis=1)
+        dl = fln[:, ids].sum(axis=1)
+        avgdl = float(np.asarray(avg_flens, dtype=np.float64).sum())
+        base_kernel = get_model(base).kernel
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = base_kernel(tf, dl, qtf, nt, F, N, avgdl, num_tokens)
+        return np.where(tf == 0, 0.0, s)
+
+    kernel.__name__ = f"single_field_{base}_{'_'.join(map(str, field_ids))}"
+    return kernel
+
+
+_SINGLE_FIELD_NAME = re.compile(
+    r"SingleField\(\s*(?P<base>[\w().,]+?)\s*,(?P<ids>[\d,\s]+)\)"
+)
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     kernel: Callable
@@ -595,6 +622,17 @@ def get_model(name: str) -> ModelSpec:
         return MODELS[name]
     except KeyError:
         pass
+    # in-field-only scoring: "SingleField(<base model>,<fid>[,<fid>...])"
+    m = _SINGLE_FIELD_NAME.fullmatch(name.strip())
+    if m:
+        base = m.group("base").strip()
+        ids = tuple(int(x) for x in m.group("ids").split(",") if x.strip())
+        get_model(base)  # validate base name eagerly
+        spec = ModelSpec(
+            single_field_kernel(base, ids), prunable=False, needs_fields=True
+        )
+        MODELS[name] = spec
+        return spec
     # composable DFR framework names: "DFR(<basic>,<aftereffect>,<norm>[,c])"
     m = _DFR_NAME.fullmatch(name.strip())
     if m:

@@ -13,11 +13,15 @@ Covers the operator surface of the reference's ANTLR grammar
     "a b c"         exact phrase constraint (terms also score;
                     matching/dsms/PhraseScoreModifier.java:58)
     "a b"~3         proximity window constraint
-    field:term      field restriction on a field index (the doc must
-                    contain the term IN that field; the term also scores
-                    normally — a simplification of TermInFieldModifier's
-                    in-field-only scoring, documented deviation).  On an
-                    index without that field, parsing raises loudly.
+    field:term      field restriction on a field index
+                    (matching/tsms/TermInFieldModifier.java semantics:
+                    docs where the term occurs but NOT in that field are
+                    scored -inf and dropped; docs without the term at all
+                    are unaffected and score on the other terms).  On an
+                    index without that field, parsing raises loudly.  For
+                    in-field-only SCORING use the SingleField(<model>,
+                    <fieldids>) weighting model instead
+                    (matching/models/SingleFieldModel.java).
 
 All parsed tokens run through the SAME term pipeline as indexing before
 matching (Manager.java:675-679); a pipeline-dropped token drops its

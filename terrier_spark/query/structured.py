@@ -153,17 +153,25 @@ def search_structured(
         scored = scored.join(bad, ["qid", "docid"], "left_anti")
 
     if field_rows:
+        # TermInFieldModifier.java:modifyScores (requirement=true): a doc
+        # whose posting for the term has NO in-field occurrence is scored
+        # -inf and stripped; docs without the term at all are untouched
+        # (the modifier only walks the term's posting list).  Expressed as
+        # an anti-join on (present anywhere) MINUS (present in field).
         fr = pd.DataFrame(field_rows, columns=["qid", "term", "field_idx"])
-        n_con = fr.groupby("qid").size().reset_index(name="n_con")
-        hits = _docids_with_field_terms(spark, store, fr, len(fields))
-        ok = (
-            hits.groupBy("qid", "docid")
-            .agg(F.count_distinct("term", "field_idx").alias("n_hit"))
-            .join(F.broadcast(spark.createDataFrame(n_con)), "qid")
-            .filter(F.col("n_hit") == F.col("n_con"))
-            .select("qid", "docid")
+        present = _docids_with_terms(
+            spark, store, fr[["qid", "term"]].drop_duplicates()
         )
-        scored = scored.join(ok, ["qid", "docid"], "left_semi")
+        # one constraint row per modifier: a term restricted to several
+        # fields must appear in EACH (one TermInFieldModifier per field)
+        cons = spark.createDataFrame(fr.drop_duplicates())
+        expected = present.join(F.broadcast(cons), ["qid", "term"])
+        in_field = _docids_with_field_terms(spark, store, fr, len(fields))
+        bad = expected.join(
+            in_field.select("qid", "term", "field_idx", "docid"),
+            ["qid", "term", "field_idx", "docid"], "left_anti"
+        ).select("qid", "docid").distinct()
+        scored = scored.join(bad, ["qid", "docid"], "left_anti")
 
     for qid, terms, window in phrase_jobs:
         from terrier_spark.query.positional import phrase_docs, proximity_docs

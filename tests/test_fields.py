@@ -103,19 +103,94 @@ def test_bm25f_with_weights(spark, engine):
 
 
 def test_field_restriction(spark, engine):
+    """TermInFieldModifier.java semantics: docs where the restricted term
+    occurs but NOT in the named field are dropped (-inf in the
+    reference); docs without the term at all are unaffected."""
     store, oracle, pdf = engine
-    # path:java — only docs whose path tokenizes to contain 'java'
     res = search_structured(
         spark, store, [("q", "sym1 path:java")],
-        QueryConfig(k=200, ignore_low_idf=False),
+        QueryConfig(k=10_000, ignore_low_idf=False),
     ).toPandas()
     assert len(res) > 0
-    java_docs = {
-        i for i, p in enumerate(pdf["path"]) if "java" in p.split(".")
-    }
-    assert set(res["docid"]) <= java_docs
+    plist = oracle.postings.get("java", {})
+    present = set(plist)                       # 'java' in any field
+    in_path = {d for d, ftf in plist.items() if ftf[0] > 0}
+    excluded = present - in_path               # out-of-field only -> dropped
+    got = set(res["docid"])
+    assert not (got & excluded)
+    # docs without 'java' anywhere still score on sym1 (the reference
+    # modifier walks only the term's posting list)
+    sym1_docs = set(oracle.postings.get("sym1", {}))
+    survivors_wo_java = sym1_docs - present
+    assert survivors_wo_java & got, (
+        "docs lacking the restricted term entirely must not be excluded"
+    )
+    # exact result set: the field term itself still scores normally, so
+    # the scored pool is sym1-docs UNION java-docs, minus the excluded
+    assert got == (sym1_docs | present) - excluded
     # unknown field is loud
     with pytest.raises(Exception, match="field"):
         search_structured(
             spark, store, [("q", "title:foo")], QueryConfig(k=5)
         ).collect()
+
+
+def test_single_field_model(spark, engine):
+    """SingleFieldModel.java: base model scored on the active fields' tf
+    and length sums, global statistics; tf==0 in those fields -> 0."""
+    import math
+
+    store, oracle, pdf = engine
+    qcfg = QueryConfig(k=30, model="SingleField(BM25,1)",
+                       ignore_low_idf=False)
+    got = search(spark, store, [("q", "sym1 sym3")], qcfg).orderBy(
+        "rank").toPandas()
+    # literal reference port: BM25(tf_content, len_content) with global
+    # N/nt and avgdl = sum of per-field averages
+    N = oracle.num_docs
+    avgdl = sum(oracle.avg_field_lens)
+    acc = {}
+    for term in ("sym1", "sym3"):
+        plist = oracle.postings.get(term, {})
+        nt = len(plist)
+        idf = math.log2((N - nt + 0.5) / (nt + 0.5))
+        for docid, ftf in plist.items():
+            tf = ftf[1]
+            if tf == 0:
+                continue
+            dl = oracle.field_lens[docid][1]
+            K = 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl) + tf
+            acc[docid] = acc.get(docid, 0.0) + (tf * 9.0 / (9.0 * K)) * idf
+    exp = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert list(got["docid"]) == [d for d, _ in exp]
+    for g, (_, s) in zip(got["score"], exp):
+        assert g == pytest.approx(s, abs=1e-6)
+
+
+def test_segmented_field_build_parity(spark, tmp_path):
+    """The resumable/segmented builder now supports field_cols: identical
+    index content and BM25F results vs the monolithic field build, and
+    field indexes survive compaction."""
+    from terrier_spark.index.resumable import (
+        build_index_resumable,
+        compact_postings,
+    )
+
+    corpus = synth_source_corpus(spark, n_docs=200)
+    pdf = corpus.toPandas()
+    cfg = IndexConfig(field_cols=FIELD_COLS)
+    mono = build_index(spark, corpus, str(tmp_path / "fm"), cfg,
+                       bucket_span=64)
+    seg = build_index_resumable(spark, corpus, str(tmp_path / "fs"), cfg,
+                                bucket_span=64)
+    assert seg.stats == mono.stats
+    oracle = OracleFieldIndex(list(zip(pdf["path"], pdf["content"])),
+                              cfg.pipeline)
+    qcfg = QueryConfig(k=20, model="BM25F", ignore_low_idf=False)
+    for st in (seg, compact_postings(spark, seg, cfg)):
+        got = search(spark, st, [("q", "py sym1 src")], qcfg).orderBy(
+            "rank").toPandas()
+        exp = oracle.search_bm25f("py sym1 src", k=20)
+        assert list(got["docid"]) == [d for d, _ in exp]
+        for g, (_, s) in zip(got["score"], exp):
+            assert g == pytest.approx(s, abs=1e-6)

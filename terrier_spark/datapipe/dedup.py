@@ -10,11 +10,63 @@ Python-hash nondeterminism leaks in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # 60-bit md5-int: conv(first 15 hex chars) -> non-negative < 2^60
 MERSENNE31 = (1 << 31) - 1
+
+
+def _canonical_texts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative row (min id) per distinct text.  Running LSH on
+    canonical texts only is the standard guard against mass duplication:
+    1M byte-identical docs would otherwise all land in the same band
+    bucket (~10^12 candidate pairs); byte-identical groups are already
+    reported exactly by exact_duplicates()."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
+
+
+def _cap_buckets(buckets: DataFrame, keys: list[str], cap: int,
+                 stats_out: dict | None, what: str) -> DataFrame:
+    """Drop bucket groups larger than `cap` members (a hot bucket of b
+    docs yields b^2/2 candidate pairs — one pathological bucket can
+    dominate the whole job).  When `stats_out` is given, the dropped
+    counts are computed eagerly (one small aggregation job) and recorded
+    under stats_out[what]; a warning is logged either way."""
+    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("__bn"))
+    if stats_out is not None:
+        row = (
+            sizes.filter(F.col("__bn") > cap)
+            .agg(
+                F.count("*").alias("dropped_buckets"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("dropped_rows"),
+                F.coalesce(F.max("__bn"), F.lit(0)).alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        stats_out[what] = {
+            "dropped_buckets": int(row["dropped_buckets"]),
+            "dropped_rows": int(row["dropped_rows"]),
+            "max_bucket": int(row["max_bucket"]),
+            "cap": cap,
+        }
+        if row["dropped_buckets"]:
+            log.warning(
+                "%s: dropped %d bucket(s) over cap=%d (largest had %d "
+                "members, %d rows total)", what, row["dropped_buckets"],
+                cap, row["max_bucket"], row["dropped_rows"],
+            )
+    ok = sizes.filter(F.col("__bn") <= cap).select(*keys)
+    return buckets.join(ok, keys, "left_semi")
 
 
 def _md5_int(col):
@@ -53,12 +105,50 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None,
+                        stats_out: dict | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle inverted join:
     |A ∩ B| from the self-join on shingle, |A ∪ B| = |A|+|B|-|A∩B|.
-    -> (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
+    -> (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    SCALE WARNING: a shingle shared by d docs contributes d^2/2 join
+    rows; at web scale a boilerplate 3-gram appears in millions of docs
+    and the bare self-join degenerates to a cartesian product on that
+    key.  Set `max_shingle_df` to drop shingles above that document
+    frequency BEFORE the join (the standard df-cut — both intersections
+    and set sizes are computed over the reduced shingle universe, so the
+    Jaccard stays a proper set similarity of that universe).  The exact
+    unfiltered path (max_shingle_df=None) is intended for oracle-scale
+    inputs or as the verify stage behind minhash_lsh_pairs, which routes
+    candidates through LSH buckets first."""
     sh = _shingles(df, id_col, text_col, n)
-    sh.persist()
+    if max_shingle_df is not None:
+        # df-cut: the per-shingle document-frequency aggregation and the
+        # semi-join reuse the distinct()'s exchange (same subtree)
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        if stats_out is not None:
+            row = (
+                dfreq.filter(F.col("__df") > max_shingle_df)
+                .agg(
+                    F.count("*").alias("dropped_shingles"),
+                    F.coalesce(F.max("__df"), F.lit(0)).alias("max_df"),
+                )
+                .collect()[0]
+            )
+            stats_out["shingle_df_cut"] = {
+                "dropped_shingles": int(row["dropped_shingles"]),
+                "max_df": int(row["max_df"]),
+                "cap": max_shingle_df,
+            }
+            if row["dropped_shingles"]:
+                log.warning(
+                    "ngram_jaccard_pairs: df-cut dropped %d hot shingle(s) "
+                    "(max df %d > cap %d)", row["dropped_shingles"],
+                    row["max_df"], max_shingle_df,
+                )
+        ok = dfreq.filter(F.col("__df") <= max_shingle_df).select("shingle")
+        sh = sh.join(ok, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -119,13 +209,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, seed: int = 7,
-                      verify_exact: bool = True) -> DataFrame:
+                      verify_exact: bool = True,
+                      dedup_exact_first: bool = True,
+                      max_bucket_size: int | None = 1024,
+                      stats_out: dict | None = None) -> DataFrame:
     """MinHash + LSH near-dup candidate generation:
     shingle -> minhash signature -> band buckets -> bucket join.
 
     With verify_exact, candidates are re-checked with exact n-gram
     Jaccard (the standard verify step) -> (id_a, id_b, jaccard) — at
-    scale the exact check touches only candidate pairs, not N^2."""
+    scale the exact check touches only candidate pairs, not N^2.
+
+    Mass-duplication guards (both deterministic, mirrored by the DuckDB
+    gate oracle): `dedup_exact_first` runs LSH on one canonical
+    representative (min id) per distinct text — byte-identical groups
+    are exact_duplicates()'s job and would otherwise square inside their
+    shared buckets; `max_bucket_size` drops degenerate band buckets
+    above that membership with a logged counter."""
+    if dedup_exact_first:
+        df = _canonical_texts(df, id_col, text_col)
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
     band_idx = F.explode(
@@ -145,6 +247,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size,
+                               stats_out, "minhash_lsh_buckets")
     cands = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
@@ -216,10 +321,16 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4,
+                       dedup_exact_first: bool = True,
+                       max_bucket_size: int | None = 1024,
+                       stats_out: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash within `max_hamming` bits, using the
     pigeonhole band trick (a pair within r bits shares at least one of
-    r+1 bands exactly) — a bucket join, not a cross join."""
+    r+1 bands exactly) — a bucket join, not a cross join.  Same
+    mass-duplication guards as minhash_lsh_pairs."""
+    if dedup_exact_first:
+        df = _canonical_texts(df, id_col, text_col)
     fp = simhash_fingerprints(df, id_col, text_col)
     nbands = max(bands, max_hamming + 1)
     width = 60 // nbands
@@ -232,6 +343,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             for i in range(nbands)
         ])).alias("band_key"),
     )
+    if max_bucket_size is not None:
+        pieces = _cap_buckets(pieces, ["band_key"], max_bucket_size,
+                              stats_out, "simhash_buckets")
     cands = (
         pieces.alias("x").join(pieces.alias("y"), "band_key")
         .filter(F.col("x.id") < F.col("y.id"))

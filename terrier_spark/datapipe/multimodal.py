@@ -28,9 +28,12 @@ FEATURE_DIM = 16
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic pseudo-features: bytes -> sha256 -> unit-norm floats.
-    Stands in for a real embedding model; stable across runs/engines."""
-    h = hashlib.sha256(payload or b"").digest()
+    """Deterministic pseudo-features: bytes -> sha256 of the ASCII hex of
+    the bytes -> unit-norm floats.  Stands in for a real embedding model;
+    hashing the hex string (not the raw bytes) keeps the computation
+    reproducible in engines whose hash functions only accept text
+    (the DuckDB gate oracle mirrors it with sha256(varchar))."""
+    h = hashlib.sha256((payload or b"").hex().encode("ascii")).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     v = (raw.astype(np.float64) / np.float64(2**32)) - 0.5
     n = np.linalg.norm(v)

@@ -83,6 +83,8 @@ def embedding_near_dup_pairs(
     bands: int = 6,
     seed: int = 13,
     dim: int | None = None,
+    max_bucket_size: int | None = 1024,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
@@ -106,6 +108,13 @@ def embedding_near_dup_pairs(
                 for i in range(bands)
             ])).alias("band_key"),
         )
+        if max_bucket_size is not None:
+            # a corpus of near-identical vectors collapses into one band
+            # bucket (b^2/2 candidates); drop degenerate buckets loudly
+            from terrier_spark.datapipe.dedup import _cap_buckets
+
+            banded = _cap_buckets(banded, ["band_key"], max_bucket_size,
+                                  stats_out, "embedding_lsh_buckets")
         cands = (
             banded.alias("x").join(banded.alias("y"), "band_key")
             .filter(F.col("x.id") < F.col("y.id"))

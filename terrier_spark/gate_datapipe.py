@@ -100,13 +100,23 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+LSH_COSINE_PLANES = 12
+LSH_COSINE_BANDS = 6
+EMBEDDING_DIM = 64  # driver testdata embeddings (all scale factors)
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
-    emb = _embs(spark, sf_dir)
-    dim = len(emb.first()["embedding"])
-    out = lsh_cosine_topk(emb, COSINE_QUERY_IDS, dim=dim, k=COSINE_K,
-                          n_planes=12, bands=6)
-    return out.select(
-        "query_id", "vec_id", F.round("cosine", 5).alias("cosine_r")
+    out = lsh_cosine_topk(_embs(spark, sf_dir), COSINE_QUERY_IDS,
+                          dim=EMBEDDING_DIM, k=COSINE_K,
+                          n_planes=LSH_COSINE_PLANES,
+                          bands=LSH_COSINE_BANDS)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 5).desc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("cosine_r", F.round("cosine", 5))
+        .withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .select("query_id", "vec_id", "cosine_r", "rank")
     )
 
 
@@ -179,7 +189,8 @@ def q_multimodal_features(spark, sf_dir):
 
 # ----------------------------------------------------------------------- SQL
 
-_SHINGLE_CTE = """
+def _shingle_cte(src: str = "documents") -> str:
+    return f"""
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(toks)-3, 0)+1),
@@ -187,10 +198,13 @@ sh AS (
            AS shingle
   FROM (SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-        FROM documents)
+        FROM {src})
 ),
 shf AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0)
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 _JACCARD_SQL = f"""
 WITH {_SHINGLE_CTE},
@@ -227,6 +241,71 @@ SELECT doc_id, hash_idx::BIGINT AS hash_idx,
        min((a * h + b) % {MERSENNE31})::BIGINT AS minhash
 FROM h CROSS JOIN seeds
 GROUP BY doc_id, hash_idx
+"""
+
+
+LSH_NUM_HASHES = 64
+LSH_BANDS = 16
+LSH_BUCKET_CAP = 1024
+
+
+def _minhash_lsh_sql() -> str:
+    """Full MinHash+LSH near-dup pipeline mirrored: canonical text per
+    md5(text) group (dedup_exact_first), 64 minhashes, 16 bands of 4,
+    bucket-size cap, candidate bucket join, exact Jaccard verify.  Every
+    stage is md5/affine-deterministic, so the pair set is exact (the
+    banding is approximate vs exhaustive Jaccard, but both engines
+    compute the SAME banding)."""
+    params = _hash_params(LSH_NUM_HASHES)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    rpb = LSH_NUM_HASHES // LSH_BANDS
+    return f"""
+WITH canon AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+),
+{_shingle_cte('canon')},
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM shf
+),
+seeds(hash_idx, a, b) AS (VALUES {seeds}),
+mh AS (
+  SELECT doc_id, hash_idx,
+         min((a * h + b) % {MERSENNE31})::BIGINT AS minhash
+  FROM h CROSS JOIN seeds
+  GROUP BY doc_id, hash_idx
+),
+bandkeys AS (
+  SELECT doc_id, (hash_idx // {rpb})::BIGINT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx) AS key
+  FROM mh GROUP BY doc_id, (hash_idx // {rpb})
+),
+okb AS (
+  SELECT band, key FROM bandkeys
+  GROUP BY band, key HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+),
+bk AS (SELECT b.* FROM bandkeys b JOIN okb USING (band, key)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cands c
+  JOIN shf a ON a.doc_id = c.id_a
+  JOIN shf b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard_r
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -285,6 +364,102 @@ SELECT query_id, vec_id,
 FROM scored
 QUALIFY rank < {COSINE_K}
 """
+
+def _lsh_cosine_sql() -> str:
+    """Random-hyperplane LSH cosine top-k mirrored: the plane constants
+    are inlined as ORDERED sum expressions (left-associative addition =
+    the same fold order as Spark's F.aggregate), so the sign bits agree
+    bit-for-bit; band keys, candidate join and exact-cosine re-rank as
+    in the engine."""
+    from terrier_spark.datapipe.simsearch import _planes
+
+    planes = _planes(EMBEDDING_DIM, LSH_COSINE_PLANES, seed=13)
+    width = LSH_COSINE_PLANES // LSH_COSINE_BANDS
+    bit_exprs = []
+    for p in planes:
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({c!r})" for i, c in enumerate(p)
+        )
+        bit_exprs.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bit_exprs)
+    band_keys = ", ".join(
+        f"({i} || ':' || substr(sig, {i * width + 1}, {width}))"
+        for i in range(LSH_COSINE_BANDS)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding, unnest([{band_keys}]) AS band_key FROM sigs
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qv, band_key
+  FROM banded WHERE vec_id IN ({_COSINE_IDS})
+),
+cands AS (
+  SELECT DISTINCT b.vec_id, b.embedding AS ev, q.query_id, q.qv
+  FROM banded b JOIN qb q USING (band_key)
+  WHERE b.vec_id <> q.query_id
+),
+comps AS (
+  SELECT query_id, vec_id,
+         unnest(ev)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM cands
+),
+scored AS (
+  SELECT query_id, vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+  FROM comps GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id,
+       CAST(round(cosine, 5) AS DOUBLE) AS cosine_r,
+       (row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(cosine, 5) DESC, vec_id) - 1)::BIGINT AS rank
+FROM scored
+QUALIFY rank < {COSINE_K}
+"""
+
+
+def _multimodal_sql() -> str:
+    """Mirror of decode_features over the synth_media table: the payload
+    hex strings ARE the input data (inlined as VALUES); the feature is
+    recomputed in SQL from sha256(hex) -> little-endian uint32 words ->
+    centered/unit-normalised, float32-cast like the engine."""
+    # replicate the generator's deterministic payloads (input, not logic)
+    import hashlib as _hl
+    import random as _rnd
+
+    rng = _rnd.Random(42)
+    vals = []
+    for i in range(30):
+        payload = _hl.sha256(f"media{i}".encode()).digest() * (
+            1 + rng.randrange(4)
+        )
+        vals.append(f"({i}, '{payload.hex()}')")
+    # v_j = u32_le(sha256(hex)[4j:4j+4]) / 2^32 - 0.5, j = 0..7; the
+    # 16-dim vector repeats them, so norm = sqrt(2 * sum v_j^2)
+    u32 = [
+        "('0x' || substr(hx, {b3}, 2) || substr(hx, {b2}, 2) || "
+        "substr(hx, {b1}, 2) || substr(hx, {b0}, 2))::BIGINT".format(
+            b0=8 * j + 1, b1=8 * j + 3, b2=8 * j + 5, b3=8 * j + 7
+        )
+        for j in range(8)
+    ]
+    v = [f"(({u}) / 4294967296.0 - 0.5)" for u in u32]
+    norm = "sqrt(2.0 * (" + " + ".join(f"{x} * {x}" for x in v) + "))"
+    return f"""
+WITH media(media_id, hex) AS (VALUES {', '.join(vals)}),
+h AS (
+  SELECT media_id, (len(hex) / 2)::BIGINT AS n_bytes, sha256(hex) AS hx
+  FROM media
+)
+SELECT media_id, n_bytes,
+       CAST(round(CAST({v[0]} / {norm} AS REAL)::DOUBLE, 5) AS DOUBLE) AS f0
+FROM h
+"""
+
 
 _WS = "\\S+"
 _BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -388,6 +563,7 @@ DATAPIPE_ORACLE_SQL = {
     "quality_scores": _QUALITY_SQL,
     "language_id": _lang_sql(),
     "char_fingerprint": _FINGERPRINT_SQL,
-    # minhash_lsh_pairs, lsh_cosine_topk, multimodal_features: rows-only
-    # (approximate/recall-dependent or synthetic input)
+    "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "lsh_cosine_topk": _lsh_cosine_sql(),
+    "multimodal_features": _multimodal_sql(),
 }

@@ -280,36 +280,49 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
         .agg(F.sum("t_ub").alias("bucket_ub"))
     )
     bucket_ub.persist()
-
-    # pass 1: best bucket per qid
-    w = Window.partitionBy("qid").orderBy(F.col("bucket_ub").desc(), F.col("bucket"))
-    best = bucket_ub.withColumn("r", F.row_number().over(w)).filter("r = 1").select(
-        "qid", "bucket"
-    )
-    pass1 = joined.join(F.broadcast(best), ["qid", "bucket"])
-    decoded1 = pass1.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(
-        _decode_score_udf(qcfg.model, N, avgdl, T),
-        schema="qid string, docid long, score double",
-    )
-    kth = (
-        decoded1.groupBy("qid", "docid")
-        .agg(F.sum("score").alias("score"))
-        .groupBy("qid")
-        .agg(
-            F.sort_array(F.collect_list("score"), asc=False).alias("scores")
+    try:
+        # pass 1: best bucket per qid
+        w = Window.partitionBy("qid").orderBy(
+            F.col("bucket_ub").desc(), F.col("bucket")
         )
-        .select(
-            "qid",
-            F.when(
-                F.size("scores") >= qcfg.k, F.col("scores")[qcfg.k - 1]
-            ).otherwise(F.lit(float("-inf"))).alias("theta"),
+        best = bucket_ub.withColumn(
+            "r", F.row_number().over(w)
+        ).filter("r = 1").select("qid", "bucket")
+        pass1 = joined.join(F.broadcast(best), ["qid", "bucket"])
+        decoded1 = pass1.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(
+            _decode_score_udf(qcfg.model, N, avgdl, T),
+            schema="qid string, docid long, score double",
         )
-    )
-    survivors = (
-        bucket_ub.join(F.broadcast(kth), "qid", "left")
-        .filter(
-            F.col("theta").isNull() | (F.col("bucket_ub") >= F.col("theta"))
+        kth = (
+            decoded1.groupBy("qid", "docid")
+            .agg(F.sum("score").alias("score"))
+            .groupBy("qid")
+            .agg(
+                F.sort_array(F.collect_list("score"), asc=False).alias("scores")
+            )
+            .select(
+                "qid",
+                F.when(
+                    F.size("scores") >= qcfg.k, F.col("scores")[qcfg.k - 1]
+                ).otherwise(F.lit(float("-inf"))).alias("theta"),
+            )
         )
-        .select("qid", "bucket")
+        # materialize the surviving (qid, bucket) pairs NOW: they would be
+        # broadcast (= collected to the driver) anyway, and doing it
+        # eagerly lets the cached bucket_ub be released deterministically
+        # instead of leaking across queries in a long-lived session
+        survivors_pdf = (
+            bucket_ub.join(F.broadcast(kth), "qid", "left")
+            .filter(
+                F.col("theta").isNull()
+                | (F.col("bucket_ub") >= F.col("theta"))
+            )
+            .select("qid", "bucket")
+            .toPandas()
+        )
+    finally:
+        bucket_ub.unpersist()
+    survivors = spark.createDataFrame(
+        survivors_pdf, schema="qid string, bucket long"
     )
     return joined.join(F.broadcast(survivors), ["qid", "bucket"])

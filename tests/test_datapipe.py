@@ -89,15 +89,25 @@ def test_minhash_signature_shape_and_determinism(spark, docs_df):
 
 
 def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    # default: exact dups collapse to their canonical first (doc 1 is a
+    # byte-copy of doc 0, so the (0,1) pair belongs to exact_duplicates)
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in minhash_lsh_pairs(docs_df, threshold=0.5).collect()
     }
-    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 1) not in pairs
     assert (0, 2) in pairs  # near dup
+    # with the guard off, identical docs pair at jaccard 1.0
+    pairs_all = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs_df, threshold=0.5, dedup_exact_first=False
+        ).collect()
+    }
+    assert (0, 1) in pairs_all and pairs_all[(0, 1)] == pytest.approx(1.0)
     # verified jaccard is EXACT (candidates re-checked)
     texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
-    for (a, b), j in pairs.items():
+    for (a, b), j in pairs_all.items():
         assert j == pytest.approx(py_jaccard(texts[a], texts[b]))
 
 
@@ -107,8 +117,58 @@ def test_simhash(spark, docs_df):
     ham_02 = bin(fps[0] ^ fps[2]).count("1")
     ham_03 = bin(fps[0] ^ fps[3]).count("1")
     assert ham_02 < ham_03  # near dup closer than unrelated
-    near = simhash_near_pairs(docs_df, max_hamming=ham_02).collect()
+    near = simhash_near_pairs(docs_df, max_hamming=ham_02,
+                              dedup_exact_first=False).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in near)
+
+
+def test_mass_duplication_bounded(spark):
+    """Skew guards (VERDICT round 1): a corpus that is ~overwhelmingly one
+    repeated document must not square inside LSH band buckets or the
+    shingle self-join.  10k identical docs + a handful of distinct ones
+    complete with bounded candidate counts and logged drop counters."""
+    boiler = "the end of the day is the time of the day when the sun sets"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [(10_000 + i, f"unique doc sym{i} content alpha beta {i}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    # minhash LSH: dedup-first collapses the 10k copies to one canonical;
+    # the result mentions no duplicate-pair explosion
+    stats = {}
+    pairs = minhash_lsh_pairs(df, threshold=0.5, stats_out=stats).collect()
+    assert len(pairs) < 25  # nothing squares
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert len(ids_in_pairs.intersection(range(1, 10_000))) == 0
+
+    # with dedup off, the bucket cap must kick in and be counted
+    stats2 = {}
+    pairs2 = minhash_lsh_pairs(
+        df, threshold=0.5, dedup_exact_first=False, max_bucket_size=100,
+        stats_out=stats2,
+    ).collect()
+    assert stats2["minhash_lsh_buckets"]["dropped_buckets"] > 0
+    assert stats2["minhash_lsh_buckets"]["max_bucket"] >= 10_000
+    assert len(pairs2) < 25
+
+    # simhash band caps behave the same way
+    stats3 = {}
+    near = simhash_near_pairs(
+        df, max_hamming=3, dedup_exact_first=False, max_bucket_size=100,
+        stats_out=stats3,
+    ).collect()
+    assert stats3["simhash_buckets"]["dropped_buckets"] > 0
+    assert len(near) < 25
+
+    # exact jaccard df-cut: the boilerplate shingles are dropped before
+    # the self-join (df >= 10k each), so the join stays tiny
+    stats4 = {}
+    out = ngram_jaccard_pairs(
+        df, threshold=0.5, max_shingle_df=100, stats_out=stats4
+    ).collect()
+    assert stats4["shingle_df_cut"]["dropped_shingles"] > 0
+    assert stats4["shingle_df_cut"]["max_df"] >= 10_000
+    assert len(out) < 25
 
 
 @pytest.fixture(scope="module")

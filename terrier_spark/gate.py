@@ -426,6 +426,103 @@ def q_field_restrict_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# disjunctive-group gate query: {fast slow} matches as ONE synthetic
+# OR-term (summed tf, merged statistics), plus plain terms data/row
+GROUP_QUERY = "data {fast slow} row"
+GROUP_ALTS = ["fast", "slow"]
+GROUP_SINGLES = ["data", "row"]
+
+
+def q_structured_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-group retrieval (terrier.g:196-209 +
+    PostingListManager.addSingleTermAlternatives:278-324)."""
+    from terrier_spark.query.structured import search_structured
+
+    store = gate_index(spark, sf_dir)
+    # TF_IDF: its idf log2(N/nt + 1) stays positive even when the merged
+    # group nt exceeds N (true for every pair on this tiny-vocab corpus,
+    # where BM25's (N - nt + 0.5) would go negative -> NaN)
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, model="TF_IDF")
+    res = search_structured(spark, store, [("q1", GROUP_QUERY)], qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def _group_sql(k: int = GATE_K) -> str:
+    alts = ", ".join(f"'{t}'" for t in GROUP_ALTS)
+    singles = ", ".join(f"('q1', '{t}')" for t in GROUP_SINGLES)
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+),
+ntt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM toks GROUP BY term
+),
+q(qid, term) AS (VALUES {singles}),
+single_scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(
+           (1.2 * tf.tf
+            / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl)))
+           * log2(consts.n / ntt.nt + 1.0)
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = q.term
+  CROSS JOIN consts
+  GROUP BY q.qid, tf.doc_id
+),
+gstats AS (
+  SELECT SUM(nt) AS nt FROM ntt WHERE term IN ({alts})
+),
+gtf AS (
+  SELECT doc_id, SUM(tf) AS tf FROM tf WHERE term IN ({alts})
+  GROUP BY doc_id
+),
+group_scored AS (
+  SELECT 'q1' AS qid, gtf.doc_id,
+         (1.2 * gtf.tf
+          / (gtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / consts.avgdl)))
+         * log2(consts.n / gstats.nt + 1.0) AS score
+  FROM gtf
+  JOIN dl ON dl.doc_id = gtf.doc_id
+  CROSS JOIN consts CROSS JOIN gstats
+),
+scored AS (
+  SELECT qid, doc_id, SUM(score) AS score FROM (
+    SELECT * FROM single_scored UNION ALL SELECT * FROM group_scored
+  ) GROUP BY qid, doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored
+QUALIFY rank < {k}
+"""
+
+
 # structured gate query: score {fast, merge, scan}, require 'merge',
 # exclude docs containing 'window'
 STRUCTURED_QUERY = "fast +merge -window scan"
@@ -906,6 +1003,7 @@ IR_QUERIES = {
     "single_field_topk": q_single_field_topk,
     "field_restrict_topk": q_field_restrict_topk,
     "structured_topk": q_structured_topk,
+    "structured_group_topk": q_structured_group_topk,
     "doc_lengths": q_doc_lengths,
     "collection_stats": q_collection_stats,
     "postings": q_postings,
@@ -955,6 +1053,7 @@ GROUP BY term, doc_id
     "single_field_topk": _single_field_sql(),
     "field_restrict_topk": _field_restrict_sql(),
     "structured_topk": _structured_sql(),
+    "structured_group_topk": _group_sql(),
     "boolean_and": f"""
 WITH {TOKS_CTE}
 SELECT doc_id FROM toks WHERE term IN ({_TERMS_IN})

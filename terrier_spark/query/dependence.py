@@ -1,14 +1,19 @@
-"""Sequential-dependence (MRF) proximity scoring.
+"""MRF dependence (term-proximity) scoring — SD and FD.
 
-Replicates the reference's DFR dependence score modifier for the SD
-(sequential dependence) case (matching/dsms/DependenceScoreModifier.java
-DAAT loop :240-340, DFRDependenceScoreModifier.scoreFDSD :91-118,
-utility/Distance.noTimesSameOrder :255-283):
+Replicates the reference's DFR dependence score modifier
+(matching/dsms/DependenceScoreModifier.java:216-360,
+DFRDependenceScoreModifier.scoreFDSD :91-118):
 
-  * for each ADJACENT query-term pair (i, i+1) present in a retrieved
-    document, matchingNGrams counts positions p1 of term i with
-    p1 + window <= doclen whose next term-(i+1) position p2 >= p1
-    satisfies p2 - p1 < window (window = proximity.ngram.length = 2);
+  * SD (sequential dependence): for each ADJACENT query-term pair
+    (i, i+1), matchingNGrams counts positions p1 of term i with
+    p1 + window <= doclen whose FIRST term-(i+1) position p2 >= p1
+    satisfies p2 - p1 < window (utility/Distance.noTimesSameOrder
+    :255-283; window = proximity.ngram.length = 2);
+  * FD (full dependence): for EVERY query-term pair (i, j), i < j,
+    matchingNGrams counts sliding windows [w, w+window) of the document
+    (numberOfNGrams = dl < window ? 1 : dl - window + 1) containing both
+    terms in any order (utility/Distance.noTimes :82-106 via
+    windowsForTerms :176-195);
   * pair score (norm2 on, c = proximity.norm2.c = 1):
       nw    = doclen < window ? 1 : doclen - window + 1
       pfn   = m * log2(1 + c*avgdl/nw)
@@ -17,10 +22,13 @@ utility/Distance.noTimesSameOrder :255-283):
               - pfn*log2(p) - (bg-pfn)*log2(q)
       score = s / (1 + pfn)
   * final doc score = w_t * base + sum over pairs of
-    qtw_comb * w_o * score  (qtw fnid 1: mean of the two term weights);
-    docs whose base score is <= 0 are left unmodified (:260-262).
+    qtw_comb * (w_o for SD / w_u for FD) * score  (qtw fnid 1: mean of
+    the two term weights); docs whose base score is <= 0 are left
+    unmodified (:260-262).
 
-FD (full dependence, unordered windows) is not implemented.
+Plan shape: positions stay PACKED as per-posting arrays; the pair
+counting runs as a numpy kernel on the joined (pos_a, pos_b) arrays per
+candidate doc — no per-position row explosion or shuffle.
 Requires a positional index (IndexConfig.positions=True).
 """
 
@@ -34,10 +42,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 from terrier_spark.config import QueryConfig
 from terrier_spark.index.store import IndexStore
+from terrier_spark.query.positional import posting_positions
 from terrier_spark.query.search import _topk, process_queries, search_terms
 from terrier_spark.text.pipeline import make_pipeline
 
@@ -64,55 +73,72 @@ def sd_pair_score(m: float, dl: float, avgdl: float,
     return s / (1.0 + pfn)
 
 
-def _positions_with_dl(spark: SparkSession, store: IndexStore,
-                       terms: Sequence[str]) -> DataFrame:
-    """(term, docid, pos, dl) decoded from positional blocks."""
-    from terrier_spark.compression.vbyte import (
-        decode_positions,
-        decode_scoring_block,
-    )
-
-    if not store.manifest.get("positions"):
-        raise ValueError(
-            "sequential-dependence scoring needs a positional index "
-            "(IndexConfig.positions=True)"
-        )
-    blocks = store.postings(spark).filter(F.col("term").isin(list(terms)))
-
-    def decode(batches):
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples():
-                ids, tfs, dls = decode_scoring_block(row.block)
-                if ids.size == 0 or row.pos is None:
-                    continue
-                plists = decode_positions(row.pos, tfs)
-                outs.append(pd.DataFrame({
-                    "term": row.term,
-                    "docid": np.repeat(ids, tfs),
-                    "pos": np.concatenate(plists),
-                    "dl": np.repeat(dls, tfs),
-                }))
-            if outs:
-                yield pd.concat(outs)
-
-    return blocks.select("term", "block", "pos").mapInPandas(
-        decode, schema="term string, docid long, pos long, dl long"
-    )
+def count_same_order(pa: np.ndarray, pb: np.ndarray, window: int,
+                     dl: int) -> int:
+    """Distance.noTimesSameOrder: #p1 with p1 + window <= dl whose first
+    p2 >= p1 is within (p1, p1 + window)."""
+    if pa.size == 0 or pb.size == 0 or window < 2:
+        return 0
+    pa = pa[pa + window <= dl]
+    if pa.size == 0:
+        return 0
+    idx = np.searchsorted(pb, pa, side="left")
+    ok = idx < pb.size
+    first = pb[np.minimum(idx, pb.size - 1)]
+    return int(np.count_nonzero(ok & (first - pa < window)))
 
 
-def search_with_sd(
+def count_unordered(pa: np.ndarray, pb: np.ndarray, window: int,
+                    dl: int) -> int:
+    """Distance.noTimes: #sliding windows of the doc containing both
+    terms.  A position a covers windows max(0, a-window+1)..min(a, n-1),
+    n = dl < window ? 1 : dl - window + 1 (windowsForTerms semantics)."""
+    if pa.size == 0 or pb.size == 0:
+        return 0
+    n = 1 if dl < window else dl - window + 1
+
+    def covered(pos: np.ndarray) -> np.ndarray:
+        starts = np.clip(pos - window + 1, 0, None)
+        ends = np.minimum(pos, n - 1)
+        valid = starts <= ends
+        diff = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(diff, starts[valid], 1)
+        np.add.at(diff, ends[valid] + 1, -1)
+        return np.cumsum(diff[:-1]) > 0
+
+    return int(np.count_nonzero(covered(pa) & covered(pb)))
+
+
+def _qtw_combine(w1: float, w2: float, fnid: int) -> float:
+    """DependenceScoreModifier.java qtw combination functions."""
+    if fnid == 1:
+        return 0.5 * w1 + 0.5 * w2
+    if fnid == 2:
+        return w1 * w2
+    if fnid == 3:
+        return min(w1, w2)
+    if fnid == 4:
+        return max(w1, w2)
+    return 1.0
+
+
+def search_with_dependence(
     spark: SparkSession,
     store: IndexStore,
     queries: Sequence[Tuple[str, str]],
     qcfg: Optional[QueryConfig] = None,
+    dependency: str = "SD",
     window: int = NGRAM_LENGTH,
     w_t: float = 1.0,
     w_o: float = 1.0,
+    w_u: float = 1.0,
     ngram_c: float = 1.0,
+    qtw_fnid: int = 1,
 ) -> DataFrame:
-    """Retrieval with the SD proximity modifier
+    """Retrieval with the SD or FD proximity modifier
     -> (qid, rank, docid, score)."""
+    if dependency not in ("SD", "FD"):
+        raise ValueError("dependency must be 'SD' or 'FD'")
     qcfg = qcfg or QueryConfig()
     avgdl = store.stats["avg_doclen"]
 
@@ -121,11 +147,13 @@ def search_with_sd(
         spark, store, qterms, replace(qcfg, k=1 << 31)
     ).select("qid", "docid", "score")
 
-    # adjacent pairs in first-occurrence pipeline order (the reference's
-    # MatchingQueryTerms term-addition order)
+    # term pairs in first-occurrence pipeline order (the reference's
+    # MatchingQueryTerms term-addition order): adjacent for SD, all
+    # (i, j) i < j for FD (DependenceScoreModifier.java:303-357)
     pipe = make_pipeline(store.pipeline_config())
     pair_rows = []
     pid = 0
+    pair_w = w_o if dependency == "SD" else w_u
     for qid, text in queries:
         seen: list[str] = []
         counts: dict[str, int] = {}
@@ -133,10 +161,18 @@ def search_with_sd(
             if t not in counts:
                 seen.append(t)
             counts[t] = counts.get(t, 0) + 1
-        for a, b in zip(seen, seen[1:]):
+        if dependency == "SD":
+            combos = list(zip(seen, seen[1:]))
+        else:
+            combos = [
+                (seen[i], seen[j])
+                for i in range(len(seen))
+                for j in range(i + 1, len(seen))
+            ]
+        for a, b in combos:
             if a == b:
-                continue  # noTimesSameOrder asserts distinct arrays
-            qtw = 0.5 * counts[a] + 0.5 * counts[b]  # fnid 1
+                continue  # distinct position arrays required
+            qtw = _qtw_combine(counts[a], counts[b], qtw_fnid)
             pair_rows.append((str(qid), pid, a, b, float(qtw)))
             pid += 1
     if not pair_rows:
@@ -148,28 +184,41 @@ def search_with_sd(
         pair_rows, columns=["qid", "pair", "t1", "t2", "qtw"]
     )
     terms = sorted(set(pairs["t1"]) | set(pairs["t2"]))
-    pos = _positions_with_dl(spark, store, terms)
-    pos.persist()
+    # packed per-posting position arrays; no AND over ALL terms here (a
+    # pair contributes when just its two members co-occur)
+    pos = posting_positions(spark, store, terms, require_all_terms=False)
 
     e1 = spark.createDataFrame(pairs[["qid", "pair", "t1", "qtw"]])
     e2 = spark.createDataFrame(pairs[["pair", "t2"]])
     p1 = pos.join(
         F.broadcast(e1), pos["term"] == e1["t1"]
-    ).select("qid", "pair", "qtw", "docid", F.col("pos").alias("p1"), "dl")
+    ).select("qid", "pair", "qtw", "docid", "dl",
+             F.col("positions").alias("pa"))
     p2 = pos.join(
         F.broadcast(e2), pos["term"] == e2["t2"]
-    ).select("pair", "docid", F.col("pos").alias("p2"))
-    # a p1 counts iff p1 + window <= dl and SOME p2 in (p1, p1 + window)
-    # (the first p2 >= p1 is in-window iff any is; p2 == p1 cannot happen)
+    ).select("pair", "docid", F.col("positions").alias("pb"))
+
+    counter = count_same_order if dependency == "SD" else count_unordered
+
+    @F.pandas_udf(LongType())
+    def pair_m(pa: pd.Series, pb: pd.Series, dl: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                counter(
+                    np.asarray(a, dtype=np.int64),
+                    np.asarray(b, dtype=np.int64),
+                    window, int(d),
+                )
+                for a, b, d in zip(pa, pb, dl)
+            ],
+            dtype="int64",
+        )
+
     matched = (
         p1.join(p2, ["pair", "docid"])
-        .filter(
-            (F.col("p2") > F.col("p1"))
-            & (F.col("p2") < F.col("p1") + window)
-            & (F.col("p1") + window <= F.col("dl"))
-        )
-        .groupBy("qid", "pair", "docid", "qtw", "dl")
-        .agg(F.count_distinct("p1").alias("m"))
+        .withColumn("m", pair_m("pa", "pb", "dl"))
+        .filter(F.col("m") > 0)
+        .select("qid", "pair", "docid", "qtw", "dl", "m")
     )
 
     @F.pandas_udf(DoubleType())
@@ -183,7 +232,7 @@ def search_with_sd(
 
     prox = (
         matched.withColumn(
-            "contrib", F.col("qtw") * F.lit(w_o) * pair_score("m", "dl")
+            "contrib", F.col("qtw") * F.lit(pair_w) * pair_score("m", "dl")
         )
         .groupBy("qid", "docid")
         .agg(F.sum("contrib").alias("prox"))
@@ -200,3 +249,20 @@ def search_with_sd(
         .select("qid", "docid", "score")
     )
     return _topk(out, qcfg.k).select("qid", "rank", "docid", "score")
+
+
+def search_with_sd(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: Sequence[Tuple[str, str]],
+    qcfg: Optional[QueryConfig] = None,
+    window: int = NGRAM_LENGTH,
+    w_t: float = 1.0,
+    w_o: float = 1.0,
+    ngram_c: float = 1.0,
+) -> DataFrame:
+    """Sequential-dependence retrieval (compatibility wrapper)."""
+    return search_with_dependence(
+        spark, store, queries, qcfg, dependency="SD", window=window,
+        w_t=w_t, w_o=w_o, ngram_c=ngram_c,
+    )

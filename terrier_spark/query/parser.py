@@ -13,6 +13,17 @@ Covers the operator surface of the reference's ANTLR grammar
     "a b c"         exact phrase constraint (terms also score;
                     matching/dsms/PhraseScoreModifier.java:58)
     "a b"~3         proximity window constraint
+    {a b c}         disjunctive group (terrier.g:196-209,
+                    DisjunctiveQuery.java): matched as ONE synthetic term
+                    whose postings are the OR of the alternatives with
+                    summed tf and merged statistics
+                    (PostingListManager.addSingleTermAlternatives:278-324)
+    (a b)           explicit group (terrier.g:186-194): grouping; a
+                    leading +/-/field: distributes over the members
+                    (RequirementQuery / FieldQuery with an
+                    ExplicitMultiTermQuery child)
+    [a b]           segment (terrier.g:168-183, SegmentQuery.java): pure
+                    grouping — members parse as if unbracketed
     field:term      field restriction on a field index
                     (matching/tsms/TermInFieldModifier.java semantics:
                     docs where the term occurs but NOT in that field are
@@ -35,6 +46,9 @@ from dataclasses import dataclass, field
 from typing import List, Tuple
 
 _PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
+_SEGMENT_RE = re.compile(r'\[([^\[\]]*)\]?')
+_DISJ_RE = re.compile(r'\{([^{}]*)\}')
+_GROUP_RE = re.compile(r'([+-]|\w+:)?\(([^()]*)\)?')
 _TOKEN_RE = re.compile(r'([+-]?)([^\s^]+)(?:\^(\d+(?:\.\d+)?))?')
 
 
@@ -48,6 +62,8 @@ class ParsedQuery:
     phrases: List[Tuple[List[str], int | None]] = field(default_factory=list)
     # (field_name, raw_term) — must appear in that field
     field_terms: List[Tuple[str, str]] = field(default_factory=list)
+    # raw alternative lists — each scored as one OR-synthetic term
+    disjunctions: List[List[str]] = field(default_factory=list)
 
 
 def parse_query(text: str, fields: Tuple[str, ...] | None = None
@@ -64,6 +80,30 @@ def parse_query(text: str, fields: Tuple[str, ...] | None = None
         return " "
 
     rest = _PHRASE_RE.sub(eat_phrase, text)
+    # segments are pure grouping: strip the brackets, keep the members
+    # (SegmentQuery adds nothing to matching; it exists for rewriters)
+    rest = _SEGMENT_RE.sub(lambda m: f" {m.group(1)} ", rest)
+
+    def eat_disj(m: re.Match) -> str:
+        words = m.group(1).split()
+        if len(words) == 1:
+            out.terms.append((words[0], 1.0))
+        elif words:
+            out.disjunctions.append(words)
+        return " "
+
+    rest = _DISJ_RE.sub(eat_disj, rest)
+
+    def eat_group(m: re.Match) -> str:
+        mod, body = m.group(1) or "", m.group(2)
+        # the modifier distributes over the group members
+        prefix = mod if mod in ("+", "-") else ""
+        fprefix = mod if mod.endswith(":") else ""
+        return " " + " ".join(
+            f"{prefix}{fprefix}{w}" for w in body.split()
+        ) + " "
+
+    rest = _GROUP_RE.sub(eat_group, rest)
     for m in _TOKEN_RE.finditer(rest):
         prefix, tok, boost = m.group(1), m.group(2), m.group(3)
         if ":" in tok:

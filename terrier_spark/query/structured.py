@@ -89,6 +89,97 @@ def _docids_with_field_terms(spark: SparkSession, store: IndexStore,
     )
 
 
+def _score_disjunctions(spark: SparkSession, store: IndexStore,
+                        groups: pd.DataFrame, qcfg: QueryConfig) -> DataFrame:
+    """Score disjunctive groups as synthetic OR-terms
+    (PostingListManager.addSingleTermAlternatives:278-324): per group,
+    postings are the OR of the alternatives with SUMMED tf, statistics
+    merged by addition (mergeStatistics:245-253), the low-idf drop
+    applied per alternative (:289) — then the weighting model scores the
+    combined (tf, dl) once per doc.
+
+    groups: pandas (qid, gid, term, qtf) — one row per alternative.
+    -> (qid, docid, score)."""
+    from terrier_spark.query.models import get_model
+
+    stats = store.stats
+    N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
+    spec = get_model(qcfg.model)
+    if spec.needs_fields:
+        raise ValueError(
+            f"disjunctive groups are not supported with field model "
+            f"{qcfg.model!r}"
+        )
+    lex = store.lexicon_lookup(spark, sorted(set(groups["term"])))
+    lex = lex.rename(columns={"tf": "tfc"})
+    merged = groups.merge(lex[["term", "nt", "tfc"]], on="term", how="inner")
+    if qcfg.ignore_low_idf:
+        merged = merged[merged["tfc"] <= N]
+    if merged.empty:
+        return spark.createDataFrame(
+            [], "qid string, docid long, score double"
+        )
+    gstats = (
+        merged.groupby(["qid", "gid"], as_index=False)
+        .agg(qtf=("qtf", "first"), nt=("nt", "sum"), tfc=("tfc", "sum"))
+    )
+    alt = merged[["qid", "gid", "term"]].merge(gstats, on=["qid", "gid"])
+
+    blocks = store.postings(spark).filter(
+        F.col("term").isin(sorted(set(alt["term"])))
+    )
+    amap = spark.createDataFrame(
+        alt[["term", "qid", "gid", "qtf", "nt", "tfc"]]
+    )
+    joined = blocks.join(F.broadcast(amap), "term")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, tfs, dls = decode_scoring_block(row.block)
+                if ids.size == 0:
+                    continue
+                outs.append(pd.DataFrame({
+                    "qid": row.qid, "gid": row.gid, "docid": ids,
+                    "tf": tfs, "dl": dls, "qtf": row.qtf,
+                    "nt": row.nt, "tfc": row.tfc,
+                }))
+            if outs:
+                yield pd.concat(outs)
+
+    rows = joined.select(
+        "qid", "gid", "qtf", "nt", "tfc", "block"
+    ).mapInPandas(
+        decode,
+        schema="qid string, gid int, docid long, tf long, dl long, "
+               "qtf double, nt long, tfc long",
+    )
+    combined = rows.groupBy("qid", "gid", "docid", "qtf", "nt", "tfc").agg(
+        F.sum("tf").alias("tf"), F.min("dl").alias("dl")
+    )
+    kernel = spec.kernel
+
+    @F.pandas_udf("double")
+    def score_udf(tf: pd.Series, dl: pd.Series, qtf: pd.Series,
+                  nt: pd.Series, tfc: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(kernel(
+            tf.to_numpy(np.float64), dl.to_numpy(np.float64),
+            qtf.to_numpy(np.float64), nt.to_numpy(np.float64),
+            tfc.to_numpy(np.float64), N, avgdl, T,
+        ))
+
+    return (
+        combined.withColumn(
+            "score", score_udf("tf", "dl", "qtf", "nt", "tfc")
+        )
+        .groupBy("qid", "docid")
+        .agg(F.sum("score").alias("score"))
+    )
+
+
 def search_structured(
     spark: SparkSession,
     store: IndexStore,
@@ -101,7 +192,9 @@ def search_structured(
 
     fields = tuple(store.stats.get("fields") or ())
     qterm_rows, req_rows, neg_rows, field_rows = [], [], [], []
+    group_rows = []
     phrase_jobs: List[Tuple[str, List[str], int | None]] = []
+    gid = 0
     for qid, text in queries:
         parsed = parse_query(text, fields or None)
         weights: dict[str, float] = {}
@@ -123,6 +216,18 @@ def search_structured(
         for fname, raw in parsed.field_terms:
             for t in pipe.terms(raw):
                 field_rows.append((str(qid), t, fields.index(fname)))
+        for words in parsed.disjunctions:
+            alts: list[str] = []
+            for w in words:
+                for t in pipe.terms(w):
+                    if t not in alts:
+                        alts.append(t)
+            if len(alts) == 1:
+                qterm_rows.append((str(qid), alts[0], 1.0))
+            elif alts:
+                for t in alts:
+                    group_rows.append((str(qid), gid, t, 1.0))
+                gid += 1
 
     from dataclasses import replace
 
@@ -131,6 +236,17 @@ def search_structured(
     scored = search_terms(
         spark, store, qterms, replace(qcfg, k=1 << 31)
     ).select("qid", "docid", "score")
+
+    if group_rows:
+        groups = pd.DataFrame(
+            group_rows, columns=["qid", "gid", "term", "qtf"]
+        )
+        gscores = _score_disjunctions(spark, store, groups, qcfg)
+        scored = (
+            scored.unionByName(gscores)
+            .groupBy("qid", "docid")
+            .agg(F.sum("score").alias("score"))
+        )
 
     if req_rows:
         req = pd.DataFrame(req_rows, columns=["qid", "term"])

@@ -123,6 +123,136 @@ def test_sd_rank_identity(spark, engine):
     assert checked == 2
 
 
+def no_times_unordered(pos1, pos2, window, dl):
+    """Literal port of Distance.noTimes(:82-106) + windowsForTerms
+    (:176-195)."""
+    n = 1 if dl < window else dl - window + 1
+    w1, w2 = [0] * n, [0] * n
+    for pos, w in ((pos1, w1), (pos2, w2)):
+        for a in pos:
+            j = max(a - window + 1, 0)
+            while j <= a and j < n:
+                w[j] = 1
+                j += 1
+    return sum(1 for i in range(n) if w1[i] and w2[i])
+
+
+def test_count_kernels_match_literal_ports():
+    import numpy as np
+
+    from terrier_spark.query.dependence import (
+        count_same_order,
+        count_unordered,
+    )
+
+    rng = __import__("random").Random(3)
+    for _ in range(200):
+        dl = rng.randrange(1, 40)
+        pos1 = sorted(rng.sample(range(dl), min(rng.randrange(0, 8), dl)))
+        rest = [p for p in range(dl) if p not in pos1]
+        pos2 = sorted(rng.sample(rest, min(rng.randrange(0, 8), len(rest))))
+        for window in (2, 3, 5):
+            a = np.asarray(pos1, dtype=np.int64)
+            b = np.asarray(pos2, dtype=np.int64)
+            assert count_same_order(a, b, window, dl) == \
+                no_times_same_order(pos1, pos2, window, dl), (
+                    pos1, pos2, window, dl)
+            assert count_unordered(a, b, window, dl) == \
+                no_times_unordered(pos1, pos2, window, dl), (
+                    pos1, pos2, window, dl)
+
+
+def oracle_fd(oracle, pdf, query, k, avgdl, window=2, w_t=1.0, w_u=1.0):
+    """FD mirror: all term pairs (i, j) i<j, unordered window counting."""
+    pipe = make_pipeline(IndexConfig().pipeline)
+    base = dict(oracle.search(query, QueryConfig(k=1 << 31)))
+    seen, counts = [], {}
+    for t in pipe.query_terms(query):
+        if t not in counts:
+            seen.append(t)
+        counts[t] = counts.get(t, 0) + 1
+    pairs = [
+        (seen[i], seen[j],
+         0.5 * counts[seen[i]] + 0.5 * counts[seen[j]])
+        for i in range(len(seen)) for j in range(i + 1, len(seen))
+        if seen[i] != seen[j]
+    ]
+    doc_positions = {}
+    for docid, text in enumerate(pdf["content"]):
+        terms = pipe.terms(text or "")
+        pmap = {}
+        for i, t in enumerate(terms):
+            pmap.setdefault(t, []).append(i)
+        doc_positions[docid] = (pmap, len(terms))
+    out = {}
+    for docid, s in base.items():
+        score = w_t * s
+        if s > 0:
+            pmap, dl = doc_positions[docid]
+            for a, b, qtw in pairs:
+                if a in pmap and b in pmap:
+                    m = no_times_unordered(pmap[a], pmap[b], window, dl)
+                    score += qtw * w_u * sd_pair_score(m, dl, avgdl, window)
+        out[docid] = score
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def test_fd_rank_identity(spark, engine):
+    from terrier_spark.query.dependence import search_with_dependence
+
+    store, oracle, pdf = engine
+    avgdl = store.stats["avg_doclen"]
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    queries = [
+        ("q1", f"{usable[0]} {usable[3]} {usable[6]}"),
+        ("q2", f"{usable[1]} {usable[4]} {usable[7]} {usable[9]}"),
+    ]
+    for window in (2, 4):
+        got = (
+            search_with_dependence(
+                spark, store, queries, QueryConfig(k=20),
+                dependency="FD", window=window,
+            )
+            .orderBy("qid", "rank").toPandas()
+        )
+        by_qid = {qid: grp for qid, grp in got.groupby("qid")}
+        checked = 0
+        for qid, text in queries:
+            exp = oracle_fd(oracle, pdf, text, 20, avgdl, window=window)
+            grp = by_qid.get(qid)
+            act = (
+                list(zip(grp["docid"], grp["score"]))
+                if grp is not None else []
+            )
+            assert len(act) == len(exp), f"{qid} w={window}"
+            checked += bool(exp)
+            for (gd, gs), (ed, es) in zip(act, exp):
+                assert gd == ed, f"{qid} w={window}: {gd} != {ed}"
+                assert gs == pytest.approx(es, abs=1e-6)
+        assert checked == 2
+
+
+def test_fd_counts_more_than_sd():
+    """Unordered windows are a superset signal: for the same positions,
+    noTimes >= noTimesSameOrder cannot be asserted in general, but for
+    reversed-order occurrences FD counts where SD does not."""
+    import numpy as np
+
+    from terrier_spark.query.dependence import (
+        count_same_order,
+        count_unordered,
+    )
+
+    a = np.array([5], dtype=np.int64)   # term1 after term2
+    b = np.array([4], dtype=np.int64)
+    assert count_same_order(a, b, 2, 20) == 0
+    assert count_unordered(a, b, 2, 20) == 1
+
+
 def test_sd_changes_ranking_when_adjacent(spark, engine):
     """Docs with the pair adjacent must gain score relative to plain
     BM25 (sanity that the modifier has an effect)."""

@@ -28,6 +28,69 @@ def test_field_restriction_is_loud():
         parse_query("lang:python code")
 
 
+def test_parse_groups_segments_disjunctions():
+    # disjunctive group -> one OR-synthetic term (terrier.g:196-209)
+    p = parse_query("alpha {beta gamma} delta")
+    assert p.disjunctions == [["beta", "gamma"]]
+    assert ("alpha", 1.0) in p.terms and ("delta", 1.0) in p.terms
+    assert all(t not in ("beta", "gamma") for t, _ in p.terms)
+    # single-member "group" degrades to a plain term
+    p1 = parse_query("{solo} rest")
+    assert p1.disjunctions == [] and ("solo", 1.0) in p1.terms
+    # segments are pure grouping: members parse as if unbracketed
+    p2 = parse_query("[alpha +beta] -gamma")
+    assert ("alpha", 1.0) in p2.terms
+    assert p2.required == ["beta"] and p2.negative == ["gamma"]
+    # explicit parens distribute the leading modifier
+    p3 = parse_query("+(alpha beta) rest")
+    assert set(p3.required) == {"alpha", "beta"}
+    p4 = parse_query("-(alpha beta) rest")
+    assert set(p4.negative) == {"alpha", "beta"}
+    assert [t for t, _ in p4.terms] == ["rest"]
+    # field-prefixed group distributes the field restriction
+    p5 = parse_query("path:(py java) rest", fields=("path",))
+    assert set(p5.field_terms) == {("path", "py"), ("path", "java")}
+
+
+def test_disjunction_rank_identity(spark, engine):
+    """{a b} scores as ONE synthetic term: OR postings with summed tf and
+    statistics merged by addition, matching
+    PostingListManager.addSingleTermAlternatives(:278-324)."""
+    import math
+
+    store, oracle = engine
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    a, b, c = usable[0], usable[3], usable[6]
+    got = search_structured(
+        spark, store, [("q", f"{c} {{{a} {b}}}")], QueryConfig(k=30)
+    ).orderBy("rank").toPandas()
+    N, avgdl = oracle.num_docs, oracle.avgdl
+    acc = {}
+    # single term c
+    nt_c = oracle.nt(c)
+    idf_c = math.log2((N - nt_c + 0.5) / (nt_c + 0.5))
+    for d, tf in oracle.postings[c].items():
+        K = 1.2 * (0.25 + 0.75 * oracle.doclen[d] / avgdl) + tf
+        acc[d] = acc.get(d, 0.0) + tf / K * idf_c
+    # group {a b}: merged stats, summed tf
+    nt_g = oracle.nt(a) + oracle.nt(b)
+    idf_g = math.log2((N - nt_g + 0.5) / (nt_g + 0.5))
+    gtf = {}
+    for t in (a, b):
+        for d, tf in oracle.postings[t].items():
+            gtf[d] = gtf.get(d, 0) + tf
+    for d, tf in gtf.items():
+        K = 1.2 * (0.25 + 0.75 * oracle.doclen[d] / avgdl) + tf
+        acc[d] = acc.get(d, 0.0) + tf / K * idf_g
+    exp = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert list(got["docid"]) == [d for d, _ in exp]
+    for g, (_, s) in zip(got["score"], exp):
+        assert g == pytest.approx(s, abs=1e-6)
+
+
 @pytest.fixture(scope="module")
 def engine(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("stridx"))

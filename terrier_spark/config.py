@@ -39,12 +39,25 @@ class PipelineConfig:
     max_conseq: int = 3
     lowercase: bool = True
     stopwords: Optional[Sequence[str]] = DEFAULT_STOPWORDS
-    stem: bool = True  # PorterStemmer on/off
+    stem: bool = True  # PorterStemmer on/off (classic default chain)
+    # Stemmer registry name overriding the boolean: one of
+    # "porter" (classic, terms/PorterStemmer.java),
+    # "weak_porter" (terms/WeakPorterStemmer.java — step 1 only),
+    # "trv2_porter" / "trv2_weak_porter" (terms/TRv2PorterStemmer.java,
+    #   TRv2WeakPorterStemmer.java — Amati's Terrier-v2 variants),
+    # "snowball_en" (terms/EnglishSnowballStemmer.java — Porter2),
+    # "none".  None -> derive from `stem`.
+    stemmer: Optional[str] = None
+    # Tokeniser class (indexing/tokenisation/*Tokeniser.java):
+    # "english" ([A-Za-z0-9] runs), "utf" (Unicode letter/digit classes,
+    # UTFTokeniser.java), "identity" (whole input as one token,
+    # IdentityTokeniser.java).
+    tokeniser: str = "english"
 
     def key(self) -> tuple:
         sw = tuple(sorted(self.stopwords)) if self.stopwords else ()
         return (self.max_term_length, self.max_digits, self.max_conseq,
-                self.lowercase, sw, self.stem)
+                self.lowercase, sw, self.stem, self.stemmer, self.tokeniser)
 
 
 # A pipeline that can be mirrored exactly in ANSI SQL (DuckDB oracle): the

@@ -53,6 +53,212 @@ def load_documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic synthetic source-code corpus (FIXTURES.md §1): used by tests
 # that need the exact input_hint shape.  Seeded, self-contained.
 # ---------------------------------------------------------------------------
+# Non-TREC / tagged-corpus adapters (SURVEY.md §2.1 rows 1-5).  Each maps a
+# collection format onto the canonical corpus shape; parallelism unit = one
+# file per task (the reference's Collection implementations stream one file
+# at a time too — org/terrier/indexing/TRECCollection.java:73-398).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_DOC_RE = _re.compile(r"<DOC>(.*?)</DOC>", _re.DOTALL | _re.IGNORECASE)
+_DOCNO_RE = _re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>",
+                        _re.DOTALL | _re.IGNORECASE)
+_DOCHDR_RE = _re.compile(r"<DOCHDR>\s*(.*?)\s*</DOCHDR>",
+                         _re.DOTALL | _re.IGNORECASE)
+_TAG_RE = _re.compile(r"<[^>]+>")
+
+
+def _wholetext(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.text(path, wholetext=True)
+        .withColumn("__file", F.input_file_name())
+    )
+
+
+def from_trec_files(spark: SparkSession, path: str,
+                    strip_tags: bool = True) -> DataFrame:
+    """TRECCollection (org/terrier/indexing/TRECCollection.java:73-398):
+    <DOC><DOCNO>id</DOCNO> body </DOC> tagged files -> canonical corpus.
+    docno = DOCNO text; content = everything inside DOC minus the DOCNO
+    (and minus markup when strip_tags)."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["value"], pdf["__file"]):
+                for m in _DOC_RE.finditer(raw or ""):
+                    body = m.group(1)
+                    dm = _DOCNO_RE.search(body)
+                    docno = dm.group(1) if dm else ""
+                    body = _DOCNO_RE.sub(" ", body)
+                    body = _DOCHDR_RE.sub(" ", body)
+                    if strip_tags:
+                        body = _TAG_RE.sub(" ", body)
+                    rows.append((docno, fname, docno, "HEAD", "",
+                                 body.strip()))
+            if rows:
+                yield pd.DataFrame(rows, columns=list(CORPUS_COLUMNS))
+
+    return _wholetext(spark, path).mapInPandas(
+        parse,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )
+
+
+def from_trec_web_files(spark: SparkSession, path: str) -> DataFrame:
+    """TRECWebCollection (org/terrier/indexing/TRECWebCollection.java):
+    TREC-tagged web corpora whose DOC carries a DOCHDR block (URL on the
+    first line, then HTTP headers).  url -> path, host -> repo; the
+    DOCHDR is excluded from the content, markup stripped."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["value"], pdf["__file"]):
+                for m in _DOC_RE.finditer(raw or ""):
+                    body = m.group(1)
+                    dm = _DOCNO_RE.search(body)
+                    docno = dm.group(1) if dm else ""
+                    url = ""
+                    hm = _DOCHDR_RE.search(body)
+                    if hm:
+                        first = hm.group(1).splitlines()[0].strip()
+                        url = first.split()[0] if first else ""
+                    host = ""
+                    if "://" in url:
+                        host = url.split("://", 1)[1].split("/", 1)[0]
+                    body = _DOCNO_RE.sub(" ", body)
+                    body = _DOCHDR_RE.sub(" ", body)
+                    body = _TAG_RE.sub(" ", body)
+                    rows.append((docno, host, url or docno, "HEAD", "",
+                                 body.strip()))
+            if rows:
+                yield pd.DataFrame(rows, columns=list(CORPUS_COLUMNS))
+
+    return _wholetext(spark, path).mapInPandas(
+        parse,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )
+
+
+def from_warc_files(spark: SparkSession, path: str) -> DataFrame:
+    """WARC10Collection-shaped adapter (org/terrier/indexing/
+    WARC10Collection.java): WARC/1.0 (or 0.18) record streams.  Only
+    `response` records become documents; docno = WARC-TREC-ID else
+    WARC-Record-ID; path = WARC-Target-URI; the HTTP header block at the
+    start of the payload is dropped; markup stripped."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["value"], pdf["__file"]):
+                for rec in _re.split(r"(?m)^WARC/\d[\d.]*\s*$", raw or ""):
+                    if not rec.strip():
+                        continue
+                    head, _, payload = rec.partition("\n\n")
+                    headers = {}
+                    for line in head.splitlines():
+                        k, _, v = line.partition(":")
+                        if v:
+                            headers[k.strip().lower()] = v.strip()
+                    if headers.get("warc-type") != "response":
+                        continue
+                    docno = headers.get(
+                        "warc-trec-id", headers.get("warc-record-id", "")
+                    ).strip("<>")
+                    url = headers.get("warc-target-uri", "")
+                    # drop the HTTP response header block if present
+                    if payload.lstrip().startswith("HTTP/"):
+                        _, _, payload = payload.partition("\n\n")
+                    host = ""
+                    if "://" in url:
+                        host = url.split("://", 1)[1].split("/", 1)[0]
+                    rows.append((docno, host, url or docno, "HEAD", "",
+                                 _TAG_RE.sub(" ", payload).strip()))
+            if rows:
+                yield pd.DataFrame(rows, columns=list(CORPUS_COLUMNS))
+
+    return _wholetext(spark, path).mapInPandas(
+        parse,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )
+
+
+def from_twitter_json(spark: SparkSession, path: str) -> DataFrame:
+    """TwitterJSONCollection (org/terrier/indexing/
+    TwitterJSONCollection.java): one JSON tweet per line.  docno =
+    id_str (else id); content = text; user.screen_name -> repo."""
+    df = spark.read.json(path)
+    cols = set(df.columns)
+    docno = (
+        F.col("id_str") if "id_str" in cols else F.col("id").cast("string")
+    )
+    repo = (
+        F.col("user.screen_name")
+        if "user" in cols else F.lit("")
+    )
+    lang = F.col("lang") if "lang" in cols else F.lit("")
+    return df.select(
+        docno.alias("docno"),
+        repo.alias("repo"),
+        docno.alias("path"),
+        F.lit("HEAD").alias("commit"),
+        lang.alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def from_xml_files(spark: SparkSession, path: str, doc_tag: str = "doc",
+                   docno_tag: str = "docno") -> DataFrame:
+    """SimpleXMLCollection (org/terrier/indexing/SimpleXMLCollection.java):
+    XML corpora; each <doc_tag> element is a document, <docno_tag> child
+    its identifier, content = all remaining element text."""
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["value"], pdf["__file"]):
+                if not raw or not raw.strip():
+                    continue
+                root = ET.fromstring(raw)
+                docs = (
+                    [root] if root.tag == doc_tag
+                    else root.findall(f".//{doc_tag}")
+                )
+                for el in docs:
+                    dn = el.find(docno_tag)
+                    docno = (dn.text or "").strip() if dn is not None else ""
+                    parts = []
+                    for sub in el.iter():
+                        if sub.tag == docno_tag:
+                            continue
+                        if sub.text and sub.text.strip():
+                            parts.append(sub.text.strip())
+                    rows.append((docno, fname, docno, "HEAD", "",
+                                 " ".join(parts)))
+            if rows:
+                yield pd.DataFrame(rows, columns=list(CORPUS_COLUMNS))
+
+    return _wholetext(spark, path).mapInPandas(
+        parse,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )
+
 
 _EXTS = {"py": "python", "java": "java", "c": "c", "md": "markdown"}
 _HOT = ["for", "int", "return", "class", "if", "else", "while", "void", "def"]

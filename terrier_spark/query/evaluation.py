@@ -34,6 +34,38 @@ def to_trec_run(results: DataFrame, tag: str = "terrier_spark") -> DataFrame:
     ).orderBy("qid", "rank").select("line")
 
 
+def to_trec_docid_run(results: DataFrame,
+                      tag: str = "terrier_spark") -> DataFrame:
+    """TRECDocidOutputFormat (structures/outputformat/
+    TRECDocidOutputFormat.java:64-101): run lines keyed by the internal
+    docid instead of the docno."""
+    return results.select(
+        F.concat_ws(
+            " ",
+            F.col("qid"), F.lit("Q0"), F.col("docid").cast("string"),
+            F.col("rank").cast("string"), F.col("score").cast("string"),
+            F.lit(tag),
+        ).alias("line"),
+        "qid", "rank",
+    ).orderBy("qid", "rank").select("line")
+
+
+def to_raw_output(results: DataFrame) -> DataFrame:
+    """RawOutputFormat analog (structures/outputformat/
+    RawOutputFormat.java): the bare (qid, docid, score) triples with no
+    TREC decoration, ordered by rank."""
+    return results.select("qid", "docid", "score", "rank").orderBy(
+        "qid", "rank"
+    ).select("qid", "docid", "score")
+
+
+def to_null_output(results: DataFrame) -> DataFrame:
+    """NullOutputFormat (structures/outputformat/NullOutputFormat.java):
+    discards the results (an empty frame with the line schema) — used to
+    benchmark retrieval without I/O."""
+    return results.sparkSession.createDataFrame([], "line string")
+
+
 def parse_qrels(lines: Iterable[str]) -> Dict[str, set]:
     """TREC qrels `qid 0 docno rel` -> {qid: {docno relevant}}
     (org/terrier/evaluation/TRECQrelsInMemory.java)."""

@@ -16,11 +16,46 @@ in tests/test_pipeline.py pin the semantics independently.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, List, Optional
 
 from terrier_spark.config import PipelineConfig
-from terrier_spark.text.porter import porter_stem
+from terrier_spark.text.porter import (
+    porter_stem,
+    trv2_porter_stem,
+    trv2_weak_porter_stem,
+    weak_porter_stem,
+)
+from terrier_spark.text.snowball import snowball_en_stem
 from terrier_spark.text.tokenizer import tokenize
+
+# The reference's reflective stemmer surface (terms/*Stemmer.java) as a
+# plain registry (SURVEY.md §2.9)
+STEMMERS: dict[str, Callable[[str], str]] = {
+    "porter": porter_stem,
+    "weak_porter": weak_porter_stem,
+    "trv2_porter": trv2_porter_stem,
+    "trv2_weak_porter": trv2_weak_porter_stem,
+    "snowball_en": functools.lru_cache(maxsize=1_000_000)(
+        snowball_en_stem
+    ),
+}
+
+
+def resolve_stemmer(cfg: PipelineConfig) -> Optional[Callable[[str], str]]:
+    name = cfg.stemmer
+    if name is None:
+        name = "porter" if cfg.stem else "none"
+    if name == "none":
+        return None
+    try:
+        return STEMMERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown stemmer {name!r}; available: "
+            f"{sorted(STEMMERS) + ['none']}"
+        ) from None
 
 
 class TermPipeline:
@@ -31,15 +66,16 @@ class TermPipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.stop = frozenset(cfg.stopwords) if cfg.stopwords else frozenset()
-        self.stem = cfg.stem
+        self.stem_fn = resolve_stemmer(cfg)
 
     def terms(self, text: str) -> List[str]:
         toks = tokenize(text, self.cfg)
         stop = self.stop
         if stop:
             toks = [t for t in toks if t not in stop]
-        if self.stem:
-            toks = [porter_stem(t) for t in toks]
+        stem_fn = self.stem_fn
+        if stem_fn is not None:
+            toks = [stem_fn(t) for t in toks]
         return toks
 
     __call__ = terms

@@ -227,6 +227,111 @@ class _Stemmer:
         return "".join(self.b[: self.k + 1])
 
 
+class _TRv2Stemmer(_Stemmer):
+    """The reference's TRv2PorterStemmer (org/terrier/terms/
+    TRv2PorterStemmer.java, Amati's historical Terrier-v2 Porter
+    variant).  Differences from the classic release-4 stemmer, all
+    replicated: plural handling requires k > 2 ('gas' stays 'gas',
+    classic gives 'ga'); -ed/-ing removal additionally requires a
+    consonant in the stem (:263); step 4's -ion handling matches the
+    literal suffixes 'tion'/'sion' and removes them WHOLE
+    ('adoption' -> 'adop', classic gives 'adopt') (:519-526)."""
+
+    def _consonantinstem(self) -> bool:
+        return any(self._cons(i) for i in range(self.j + 1))
+
+    def _step1(self) -> None:
+        b = self.b
+        if b[self.k] == "s":
+            if self._ends("sses"):
+                self.k -= 2
+            elif self._ends("ies") and self.k > 2:
+                self._setto("i")
+            elif b[self.k - 1] != "s" and self.k > 2:
+                self.k -= 1
+        if self._ends("eed"):
+            if self._m() > 0:
+                self.k -= 1
+        elif (
+            (self._ends("ed") or self._ends("ing"))
+            and self._vowelinstem()
+            and self._consonantinstem()
+        ):
+            self.k = self.j
+            if self._ends("at"):
+                self._setto("ate")
+            elif self._ends("bl"):
+                self._setto("ble")
+            elif self._ends("iz"):
+                self._setto("ize")
+            elif self._doublec(self.k):
+                self.k -= 1
+                if b[self.k] in ("l", "s", "z"):
+                    self.k += 1
+            elif self._m() == 1 and self._cvc(self.k):
+                self._setto("e")
+
+    def _step5(self) -> None:
+        if self.k == 0:
+            return
+        ch = self.b[self.k - 1]
+        if ch == "o":
+            # TRv2 matches the WHOLE 'tion'/'sion' suffix (j = k-4), so
+            # m() > 1 removes the t/s along with -ion
+            if self._ends("tion") or self._ends("sion") or self._ends("ou"):
+                pass
+            else:
+                return
+        else:
+            sufs = self._STEP5.get(ch)
+            if not sufs:
+                return
+            for suf in sufs:
+                if self._ends(suf):
+                    break
+            else:
+                return
+        if self._m() > 1:
+            self.k = self.j
+
+
+class _WeakStemmer(_Stemmer):
+    """WeakPorterStemmer.java: step 1 (plurals/-ed/-ing) only."""
+
+    def stem(self, word: str) -> str:
+        self.b = list(word)
+        self.k = len(word) - 1
+        if self.k > 1:
+            self._step1()
+        return "".join(self.b[: self.k + 1])
+
+
+class _TRv2WeakStemmer(_TRv2Stemmer):
+    """TRv2WeakPorterStemmer.java: TRv2 step1ab + step1c only."""
+
+    def stem(self, word: str) -> str:
+        self.b = list(word)
+        self.k = len(word) - 1
+        if self.k > 1:
+            self._step1()
+            self._step2()  # classic _step2 == reference step1c (y -> i)
+        return "".join(self.b[: self.k + 1])
+
+
+def _memoized(stemmer: "_Stemmer"):
+    cache: dict[str, str] = {}
+
+    def run(word: str) -> str:
+        s = cache.get(word)
+        if s is None:
+            s = stemmer.stem(word)
+            if len(cache) < _CACHE_MAX:
+                cache[word] = s
+        return s
+
+    return run
+
+
 _STEMMER = _Stemmer()
 _CACHE: dict[str, str] = {}
 _CACHE_MAX = 1_000_000
@@ -241,3 +346,8 @@ def porter_stem(word: str) -> str:
         if len(_CACHE) < _CACHE_MAX:
             _CACHE[word] = s
     return s
+
+
+weak_porter_stem = _memoized(_WeakStemmer())
+trv2_porter_stem = _memoized(_TRv2Stemmer())
+trv2_weak_porter_stem = _memoized(_TRv2WeakStemmer())

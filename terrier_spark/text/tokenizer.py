@@ -55,10 +55,29 @@ def check_term(s: str, cfg: PipelineConfig = _DEFAULT) -> str:
     return s.lower() if cfg.lowercase else s
 
 
+# UTFTokeniser.java: token chars are the Unicode letter-or-digit classes
+# (Character.isLetterOrDigit) rather than ASCII [A-Za-z0-9]
+_UTF_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
 def tokenize(text: str, cfg: PipelineConfig = _DEFAULT) -> List[str]:
-    """text -> list of valid (lowercased) terms, in document order."""
+    """text -> list of valid (lowercased) terms, in document order.
+    Tokeniser variant per cfg.tokeniser: english / utf / identity."""
     if not text:
         return []
+    tokeniser = getattr(cfg, "tokeniser", "english")
+    if tokeniser == "identity":
+        # IdentityTokeniser.java: the whole input is one token, unchecked
+        return [text.lower() if cfg.lowercase else text]
+    if tokeniser == "utf":
+        token_re = _UTF_TOKEN_RE
+    elif tokeniser == "english":
+        token_re = _TOKEN_RE
+    else:
+        raise ValueError(
+            f"unknown tokeniser {tokeniser!r}; available: english, utf, "
+            "identity"
+        )
     out = []
     append = out.append
     if cfg is _DEFAULT:
@@ -68,7 +87,7 @@ def tokenize(text: str, cfg: PipelineConfig = _DEFAULT) -> List[str]:
         max_len = cfg.max_term_length
         digits, conseq = _digits_re(cfg.max_digits), _conseq_re(cfg.max_conseq)
         lower = cfg.lowercase
-    for tok in _TOKEN_RE.findall(text):
+    for tok in token_re.findall(text):
         if len(tok) > max_len or digits.match(tok) or conseq.search(tok):
             continue
         append(tok.lower() if lower else tok)

@@ -32,18 +32,45 @@ def cmd_index(args) -> None:
     from terrier_spark.index.corpus import (
         from_documents_table,
         from_source_code_table,
+        from_trec_files,
+        from_trec_web_files,
+        from_twitter_json,
+        from_warc_files,
+        from_xml_files,
     )
     from terrier_spark.index.resumable import build_index_resumable
 
     spark = _spark()
-    df = spark.read.parquet(args.input)
-    if "content" in df.columns:
-        corpus = from_source_code_table(df)
+    fmt = args.format
+    if fmt == "trec":
+        corpus = from_trec_files(spark, args.input)
+    elif fmt == "trecweb":
+        corpus = from_trec_web_files(spark, args.input)
+    elif fmt == "warc":
+        corpus = from_warc_files(spark, args.input)
+    elif fmt == "twitter":
+        corpus = from_twitter_json(spark, args.input)
+    elif fmt == "xml":
+        corpus = from_xml_files(spark, args.input)
     else:
-        corpus = from_documents_table(df)
+        df = spark.read.parquet(args.input)
+        if "content" in df.columns:
+            corpus = from_source_code_table(df)
+        else:
+            corpus = from_documents_table(df)
+    pipeline = PipelineConfig(
+        stem=not args.no_stem,
+        stemmer=args.stemmer,
+        tokeniser=args.tokeniser,
+    )
+    field_cols = (
+        tuple(tuple(fc.split("=", 1)) for fc in args.fields.split(","))
+        if args.fields else None
+    )
     cfg = IndexConfig(
-        pipeline=PipelineConfig(stem=not args.no_stem),
+        pipeline=pipeline,
         positions=args.positions,
+        field_cols=field_cols,
     )
     builder = build_index_resumable if args.resumable else build_index
     store = builder(spark, corpus, args.out, cfg)
@@ -72,13 +99,30 @@ def cmd_search(args) -> None:
         res = search_with_expansion(spark, store, queries, qcfg)
     elif args.structured:
         res = search_structured(spark, store, queries, qcfg)
+    elif args.dependence:
+        from terrier_spark.query.dependence import search_with_dependence
+
+        res = search_with_dependence(spark, store, queries, qcfg,
+                                     dependency=args.dependence)
     else:
         res = search(spark, store, queries, qcfg, with_meta=True)
     if "docno" not in res.columns:
         res = res.join(
             store.meta(spark).select("docid", "docno"), "docid"
         )
-    for row in to_trec_run(res, tag=args.tag).collect():
+    if args.output_format == "docid":
+        from terrier_spark.query.evaluation import to_trec_docid_run
+
+        lines = to_trec_docid_run(res, tag=args.tag).collect()
+    elif args.output_format == "raw":
+        from terrier_spark.query.evaluation import to_raw_output
+
+        for row in to_raw_output(res).collect():
+            print(row["qid"], row["docid"], row["score"])
+        return
+    else:
+        lines = to_trec_run(res, tag=args.tag).collect()
+    for row in lines:
         print(row["line"])
 
 
@@ -128,9 +172,20 @@ def main(argv=None) -> None:
     p = sub.add_parser("index")
     p.add_argument("--input", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "trec", "trecweb", "warc",
+                            "twitter", "xml"])
     p.add_argument("--resumable", action="store_true")
     p.add_argument("--positions", action="store_true")
     p.add_argument("--no-stem", action="store_true")
+    p.add_argument("--stemmer", default=None,
+                   help="porter|weak_porter|trv2_porter|trv2_weak_porter|"
+                        "snowball_en|none")
+    p.add_argument("--tokeniser", default="english",
+                   choices=["english", "utf", "identity"])
+    p.add_argument("--fields", default=None,
+                   help="comma list of field=column pairs, e.g. "
+                        "path=path,content=content")
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("search")
@@ -141,6 +196,9 @@ def main(argv=None) -> None:
     p.add_argument("--tag", default="terrier_spark")
     p.add_argument("--expand", action="store_true")
     p.add_argument("--structured", action="store_true")
+    p.add_argument("--dependence", default=None, choices=["SD", "FD"])
+    p.add_argument("--output-format", default="docno",
+                   choices=["docno", "docid", "raw"])
     p.add_argument("--keep-low-idf", action="store_true")
     p.set_defaults(fn=cmd_search)
 

@@ -164,6 +164,139 @@ def lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 16,
     )
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 8, iters: int = 5,
+                  sample: int = 2000, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Deterministic coarse-quantizer centroids for IVF: k-means on a
+    deterministic sample (the `sample` lowest ids, sorted), run
+    driver-side in numpy with fixed initialisation (first n_centroids
+    sample vectors) and a fixed iteration count.  Driver-side k-means is
+    deliberate: centroid training on a 10^12-row table would subsample
+    anyway, and a numpy loop over a bounded sample is reproducible
+    bit-for-bit across engines (the DuckDB gate oracle inlines the
+    resulting centroid constants).  -> (n_centroids, dim) float64."""
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_anchors(dim: int, n_centroids: int = 8, seed: int = 29):
+    """Data-independent IVF anchors: seeded Gaussian unit vectors.
+    Slightly worse recall than trained k-means centroids
+    (ivf_centroids) but reproducible from the seed alone, so the DuckDB
+    gate oracle can inline them as constants."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_centroids):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5
+        out.append([x / n for x in v])
+    return out
+
+
+def ivf_assign(emb: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """-> (id, vec, centroid) with centroid = argmax cosine against the
+    fixed centroid constants — pure Column expressions (ordered sums, so
+    any engine computing the same fold agrees), JVM-side."""
+    cents = [list(map(float, c)) for c in centroids]
+    sims = [
+        _dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])) for c in cents
+    ]
+    best = F.lit(0)
+    best_sim = sims[0]
+    for ci in range(1, len(sims)):
+        cond = sims[ci] > best_sim
+        best = F.when(cond, F.lit(ci)).otherwise(best)
+        best_sim = F.when(cond, sims[ci]).otherwise(best_sim)
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        best.alias("centroid"),
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: vectors are bucketed by nearest
+    centroid (the inverted file); each query probes its `nprobe` nearest
+    centroids' buckets and exact-scores only those candidates.
+    -> (query_id, vec_id, cosine).  The standard ANN scale path: the
+    candidate set shrinks by ~n_centroids/nprobe versus brute force, and
+    the bucket join shuffles candidates only."""
+    import numpy as np
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    qvecs = {
+        int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
+        for r in emb.filter(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col).collect()
+    }
+    cents = [list(map(float, c)) for c in centroids]
+    probe_rows = []
+    for qid_, v in qvecs.items():
+        vf = [float(x) for x in v]
+        # left-to-right fold, matching the SQL oracle's ordered sums
+        # bit-for-bit so probe tie-breaks agree across engines
+        sims = []
+        for c in cents:
+            acc = 0.0
+            for x, y in zip(vf, c):
+                acc = acc + x * y
+            sims.append(acc)
+        # deterministic probe order: similarity desc, centroid id asc
+        order = sorted(range(len(cents)), key=lambda ci: (-sims[ci], ci))
+        for ci in order[:nprobe]:
+            probe_rows.append((qid_, int(ci)))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, centroid int"
+    )
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "centroid")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("vec"), F.col("qvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("qvec"))
+    )
+    scored = cands.select(
+        "query_id", F.col("id").alias("vec_id"), cos.alias("cosine")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_ids: Sequence[int],

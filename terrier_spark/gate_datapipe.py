@@ -75,7 +75,8 @@ def q_minhash_sigs(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # rows-only gate (LSH recall < 1 by design, so no exact-SQL twin)
+    # full pipeline gate: banding is md5-deterministic, so the oracle
+    # mirrors signatures -> bands -> cap -> verify exactly (_minhash_lsh_sql)
     out = minhash_lsh_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
     )
@@ -118,6 +119,95 @@ def q_lsh_cosine_topk(spark, sf_dir):
         .withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
         .select("query_id", "vec_id", "cosine_r", "rank")
     )
+
+
+IVF_CENTROIDS = 8
+IVF_NPROBE = 3
+
+
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF approximate cosine top-k with seeded unit-vector anchors
+    (data-independent, so the oracle inlines the same constants)."""
+    from terrier_spark.datapipe.simsearch import ivf_anchors, ivf_cosine_topk
+
+    anchors = ivf_anchors(EMBEDDING_DIM, IVF_CENTROIDS)
+    out = ivf_cosine_topk(_embs(spark, sf_dir), COSINE_QUERY_IDS, anchors,
+                          k=COSINE_K, nprobe=IVF_NPROBE)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 5).desc(), F.col("vec_id").asc()
+    )
+    return (
+        out.withColumn("cosine_r", F.round("cosine", 5))
+        .withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .select("query_id", "vec_id", "cosine_r", "rank")
+    )
+
+
+def _ivf_sql() -> str:
+    """IVF mirrored: anchors inlined as ordered-sum dot expressions
+    (left-associative like the engine's folds), assignment = first index
+    of the max similarity, probes = top-nprobe anchors per query by
+    (sim desc, centroid asc), then exact cosine over probed buckets."""
+    from terrier_spark.datapipe.simsearch import ivf_anchors
+
+    anchors = ivf_anchors(EMBEDDING_DIM, IVF_CENTROIDS)
+    dots = []
+    for c in anchors:
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({x!r})" for i, x in enumerate(c)
+        )
+        dots.append(f"({terms})")
+    sims_list = "[" + ", ".join(dots) + "]"
+    return f"""
+WITH sims AS (
+  SELECT vec_id, embedding, {sims_list} AS s FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding,
+         (list_position(s, list_max(s)) - 1)::INT AS centroid
+  FROM sims
+),
+qsims AS (
+  SELECT vec_id AS query_id, embedding AS qv, unnest(s) AS sim,
+         unnest(range(len(s)))::INT AS centroid
+  FROM sims WHERE vec_id IN ({_COSINE_IDS})
+),
+probes AS (
+  SELECT query_id, centroid FROM (
+    SELECT query_id, centroid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, centroid) AS r
+    FROM qsims
+  ) WHERE r <= {IVF_NPROBE}
+),
+q AS (
+  SELECT DISTINCT query_id, qv FROM qsims
+),
+cands AS (
+  SELECT DISTINCT a.vec_id, a.embedding AS ev, p.query_id, q.qv
+  FROM assigned a
+  JOIN probes p USING (centroid)
+  JOIN q USING (query_id)
+  WHERE a.vec_id <> p.query_id
+),
+comps AS (
+  SELECT query_id, vec_id,
+         unnest(ev)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM cands
+),
+scored AS (
+  SELECT query_id, vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+  FROM comps GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id,
+       CAST(round(cosine, 5) AS DOUBLE) AS cosine_r,
+       (row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(cosine, 5) DESC, vec_id) - 1)::BIGINT AS rank
+FROM scored
+QUALIFY rank < {COSINE_K}
+"""
 
 
 NEAR_DUP_COSINE = 0.4
@@ -545,6 +635,7 @@ DATAPIPE_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
     "language_id": q_lang_id,
@@ -565,5 +656,6 @@ DATAPIPE_ORACLE_SQL = {
     "char_fingerprint": _FINGERPRINT_SQL,
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "lsh_cosine_topk": _lsh_cosine_sql(),
+    "ivf_cosine_topk": _ivf_sql(),
     "multimodal_features": _multimodal_sql(),
 }

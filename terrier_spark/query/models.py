@@ -546,6 +546,43 @@ def mdl2(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
     return qtf * score
 
 
+def per_field_kernel(basic: str, normalisation: str):
+    """PerFieldNormWeightingModel (matching/models/
+    PerFieldNormWeightingModel.java:117-132): tfn = sum over fields of
+    w_i * Norm_i(tf_i, len_i) with per-field c_i/avg_i, then the DFR
+    basic model scores (tfn, doclen) once; tfn == 0 -> 0.  BM25F ==
+    PerField(BM,B), PL2F == PerField(PL,2)."""
+    bm = DFR_BASIC_MODELS[basic]
+    norm = DFR_NORMALISATIONS[normalisation]
+
+    def kernel(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
+        ftf = np.asarray(ftf, dtype=np.float64)
+        fln = np.asarray(fln, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        c = np.asarray(cs, dtype=np.float64)
+        av = np.asarray(avg_flens, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tfn_i = np.empty_like(ftf)
+            for fi in range(ftf.shape[1]):
+                tfn_i[:, fi] = norm(
+                    ftf[:, fi], fln[:, fi], float(nt), float(F),
+                    float(c[fi]), float(av[fi]), N, num_tokens,
+                )
+            tfn_i = np.where(ftf > 0, w * tfn_i, 0.0)
+            tfn = np.nan_to_num(tfn_i, nan=0.0, posinf=0.0).sum(axis=1)
+            dl = fln.sum(axis=1)
+            s = bm(tfn, float(nt), float(F), qtf, dl, N, num_tokens)
+        return np.where(tfn == 0.0, 0.0, s)
+
+    kernel.__name__ = f"per_field_{basic}_{normalisation}"
+    return kernel
+
+
+_PER_FIELD_NAME = re.compile(
+    r"PerField\(\s*(?P<b>\w+)\s*,\s*(?P<n>\w+)\s*\)"
+)
+
+
 def single_field_kernel(base: str, field_ids: tuple):
     """SingleFieldModel (matching/models/SingleFieldModel.java): score the
     base model on (sum of active fields' tfs, sum of active fields'
@@ -622,6 +659,22 @@ def get_model(name: str) -> ModelSpec:
         return MODELS[name]
     except KeyError:
         pass
+    # generic per-field DFR composition: "PerField(<basic>,<norm>)"
+    m = _PER_FIELD_NAME.fullmatch(name.strip())
+    if m:
+        try:
+            spec = ModelSpec(
+                per_field_kernel(m.group("b"), m.group("n")),
+                prunable=False, needs_fields=True,
+            )
+        except KeyError as e:
+            raise ValueError(
+                f"unknown PerField component {e} in {name!r}; basic "
+                f"models: {sorted(DFR_BASIC_MODELS)}, normalisations: "
+                f"{sorted(DFR_NORMALISATIONS)}"
+            ) from None
+        MODELS[name] = spec
+        return spec
     # in-field-only scoring: "SingleField(<base model>,<fid>[,<fid>...])"
     m = _SINGLE_FIELD_NAME.fullmatch(name.strip())
     if m:

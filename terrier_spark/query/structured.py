@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from terrier_spark.compression.vbyte import decode_scoring_block
 from terrier_spark.config import QueryConfig
 from terrier_spark.index.store import IndexStore
-from terrier_spark.query.parser import ParsedQuery, parse_query
+from terrier_spark.query.parser import parse_query
 from terrier_spark.query.search import _topk, search_terms
 from terrier_spark.text.pipeline import make_pipeline
 

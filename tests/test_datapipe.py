@@ -301,3 +301,38 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):
         decode_features(media, decoder="real").collect()
+
+
+def test_ivf_cosine_recall(spark, emb_df):
+    """IVF (trained centroids + probed buckets) recall vs exact
+    brute-force top-k, and the anchors variant stays deterministic."""
+    from terrier_spark.datapipe.simsearch import (
+        cosine_topk,
+        ivf_anchors,
+        ivf_centroids,
+        ivf_cosine_topk,
+    )
+
+    qids = [0, 1, 2]
+    exact = cosine_topk(emb_df, qids, k=10).toPandas()
+    cents = ivf_centroids(emb_df, n_centroids=8)
+    assert len(cents) == 8
+    got = ivf_cosine_topk(emb_df, qids, cents, k=10, nprobe=4).toPandas()
+    hits = total = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        g = set(got[got["query_id"] == q]["vec_id"])
+        hits += len(e & g)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.5, recall  # near-orthogonal testdata vectors
+    # probing all buckets must reproduce the exact top-k
+    full = ivf_cosine_topk(emb_df, qids, cents, k=10, nprobe=8).toPandas()
+    for q in qids:
+        e = list(exact[exact["query_id"] == q]["vec_id"])
+        f = list(full[full["query_id"] == q]["vec_id"])
+        assert e == f
+    # anchors are purely seed-derived
+    a1 = ivf_anchors(64, 8)
+    a2 = ivf_anchors(64, 8)
+    assert a1 == a2

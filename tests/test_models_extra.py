@@ -265,3 +265,23 @@ def test_dfr_rank_identity_engine(spark):
         assert list(got["docid"]) == [d for d, _ in exp], model
         for g, (_, s) in zip(got["score"], exp):
             assert g == pytest.approx(s, abs=1e-6), model
+
+
+def test_per_field_composition_identity():
+    """PerField(BM,B) must equal BM25F and PerField(PL,2) must equal PL2F
+    on a posting grid (PerFieldNormWeightingModel is the framework both
+    derive from)."""
+    from terrier_spark.query.models import bm25f, get_model, pl2f
+
+    ftf, fln, w, c, avg = _field_fixture()
+    args = (1.0, 50, 500, 1000, w, c, avg, 100_000)
+    got_bm = get_model("PerField(BM,B)").kernel(ftf, fln, *args)
+    exp_bm = bm25f(ftf, fln, *args)
+    got_pl = get_model("PerField(PL,2)").kernel(ftf, fln, *args)
+    exp_pl = pl2f(ftf, fln, *args)
+    for g, e in zip(got_bm, exp_bm):
+        assert float(g) == pytest.approx(float(e), rel=1e-12)
+    for g, e in zip(got_pl, exp_pl):
+        assert float(g) == pytest.approx(float(e), rel=1e-12)
+    with pytest.raises(ValueError, match="PerField component"):
+        get_model("PerField(Nope,2)")

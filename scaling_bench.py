@@ -75,9 +75,12 @@ def worker(cpus: int) -> None:
         os.environ["PYTHONPATH"] = (
             repo_root + ":" + os.environ.get("PYTHONPATH", "")
         )
+        # 225-query batches over the 8M-doc index need more executor heap
+        # than the build (the query phase OOMed at 8G with 4 tasks/executor)
+        exec_mb = int(os.environ.get("SCALING_EXECUTOR_MB", "14336"))
         spark = (
             SparkSession.builder
-            .master(f"local-cluster[{n_exec},4,8192]")
+            .master(f"local-cluster[{n_exec},4,{exec_mb}]")
             .config("spark.executorEnv.PYTHONPATH", repo_root)
             .appName(f"scaling-{cpus}")
             .config("spark.sql.shuffle.partitions", str(cpus))
@@ -136,7 +139,8 @@ def worker(cpus: int) -> None:
             t0 = time.time()
             store = run_build(corpus, f"{out}/meas{r}")
             times.append(time.time() - t0)
-            shutil.rmtree(f"{out}/meas{r}", ignore_errors=True)
+            if r < reps - 1:  # keep the last build for the query phase
+                shutil.rmtree(f"{out}/meas{r}", ignore_errors=True)
         build_sec = min(times)
         n_docs = store.stats["num_docs"]
 
@@ -190,8 +194,9 @@ def main() -> None:
             factor = float(os.environ.get("SCALING_PIN_FACTOR", "1.5"))
             pin = min(int(cpus * factor), os.cpu_count())
             cmd = ["taskset", "-c", f"0-{pin - 1}"] + cmd
+        wk_timeout = int(os.environ.get("SCALING_WORKER_TIMEOUT", "3600"))
         proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800,
+            cmd, capture_output=True, text=True, timeout=wk_timeout,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("WORKER_RESULT "):

@@ -289,7 +289,14 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
             "r", F.row_number().over(w)
         ).filter("r = 1").select("qid", "bucket")
         pass1 = joined.join(F.broadcast(best), ["qid", "bucket"])
-        decoded1 = pass1.select("qid", "qtf", "nt", "tfc", "block").mapInPandas(
+        # the compacted postings dataset is few parquet files, so without
+        # a repartition this decode would run on a handful of tasks and
+        # serialize the whole two-pass prune (measured: ~2 min of the
+        # 900-query batch at 32 cores before this spread)
+        sel1 = pass1.select("qid", "qtf", "nt", "tfc", "block").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        decoded1 = sel1.mapInPandas(
             _decode_score_udf(qcfg.model, N, avgdl, T),
             schema="qid string, docid long, score double",
         )

@@ -47,12 +47,27 @@ from terrier_spark.index.store import IndexStore
 class IncrementalIndexer:
     def __init__(self, out_dir: str, cfg: Optional[IndexConfig] = None,
                  bucket_span: int = DEFAULT_BUCKET_SPAN,
-                 compact_every: int = 0, finalize_every: int = 1):
+                 compact_every: int = 0, finalize_every: int = 1,
+                 delete_policy: str = "nodelete",
+                 keep_most_recent: int = 24):
+        """delete_policy mirrors the reference's incremental.delete
+        property (realtime/incremental/IncrementalDeletePolicy.java):
+        "nodelete" (default) keeps every batch shard;
+        "deleteFixedSize" retains only the `keep_most_recent` most recent
+        batch shards (IncrementalDeleteFixedNumber.java:49,
+        incremental.delete.mostrecent default 24), dropping older batches'
+        segments — the rolling-window retention used for streams."""
+        if delete_policy not in ("nodelete", "deleteFixedSize"):
+            raise ValueError(
+                "delete_policy must be 'nodelete' or 'deleteFixedSize'"
+            )
         self.out_dir = out_dir
         self.cfg = cfg or IndexConfig()
         self.bucket_span = bucket_span
         self.compact_every = compact_every
         self.finalize_every = max(finalize_every, 1)
+        self.delete_policy = delete_policy
+        self.keep_most_recent = keep_most_recent
         os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
         self._state_path = os.path.join(out_dir, "checkpoints", "stream.json")
@@ -146,13 +161,65 @@ class IncrementalIndexer:
         self._save_state(state)
         batch_df.unpersist()
 
-        n_batches = len(state["batches"])
+        if self.delete_policy == "deleteFixedSize":
+            state = self._apply_delete_policy(state)
+
+        n_batches = len(
+            [b for b in state["batches"].values() if not b.get("deleted")]
+        )
         if n_batches % self.finalize_every == 0:
             self.finalize()
         if self.compact_every and n_batches % self.compact_every == 0:
             from terrier_spark.index.resumable import compact_postings
 
             compact_postings(spark, IndexStore(self.out_dir), self.cfg)
+
+    def _apply_delete_policy(self, state: dict) -> dict:
+        """Drop the oldest batches' segments beyond keep_most_recent
+        (IncrementalDeleteFixedNumber semantics).  If a dropped segment
+        was already folded into a compaction, the compact file is
+        invalidated (layout reverts to plain segmented) so queries never
+        serve deleted shards; the next compaction rebuilds it."""
+        import shutil as _sh
+
+        live = sorted(
+            (int(bid) for bid, b in state["batches"].items()
+             if not b.get("deleted")),
+        )
+        to_drop = live[: max(len(live) - self.keep_most_recent, 0)]
+        if not to_drop:
+            return state
+        seg_root = os.path.join(self.out_dir, "segments")
+        dropped_segs = []
+        for bid in to_drop:
+            entry = state["batches"][str(bid)]
+            for seg in entry.get("segments", ()):
+                path = os.path.join(seg_root, seg)
+                if os.path.isdir(path):
+                    _sh.rmtree(path)
+                dropped_segs.append(seg)
+            entry["deleted"] = True
+            entry["segments"] = []
+        state["ckpt_rows"] = [
+            r for r in state.get("ckpt_rows", [])
+            if int(r.get("batch_id", -1)) not in set(to_drop)
+        ]
+        self._save_state(state)
+        # invalidate a compaction that covered any dropped segment
+        manifest_path = os.path.join(self.out_dir, "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+            covered = set(manifest.get("compacted_segments") or ())
+            if covered & set(dropped_segs):
+                compact_path = os.path.join(self.out_dir, "postings_compact")
+                if os.path.isdir(compact_path):
+                    _sh.rmtree(compact_path)
+                manifest["layout"] = "segmented"
+                manifest.pop("compacted_segments", None)
+                with open(manifest_path, "w") as fh:
+                    json.dump(manifest, fh, indent=2)
+        return state
 
     def finalize(self) -> IndexStore:
         """Refresh the global lexicon/stats/manifest over all segments."""

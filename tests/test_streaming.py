@@ -64,6 +64,48 @@ def test_batch_retry_is_idempotent(spark, tmp_path):
     assert IndexStore(out).stats["num_docs"] == 60
 
 
+def test_delete_policy_fixed_size(spark, tmp_path):
+    """deleteFixedSize retention (IncrementalDeleteFixedNumber.java):
+    only the most recent N batch shards survive; older batches' docs
+    disappear from the index, and a compaction covering a dropped shard
+    is invalidated rather than served stale."""
+    corpus = synth_source_corpus(spark, n_docs=120)
+    pdf = corpus.toPandas()
+    out = str(tmp_path / "del")
+    inc = IncrementalIndexer(out, bucket_span=64,
+                             delete_policy="deleteFixedSize",
+                             keep_most_recent=2, compact_every=1)
+    chunks = [pdf.iloc[0:40], pdf.iloc[40:80], pdf.iloc[80:120]]
+    for i, chunk in enumerate(chunks):
+        inc.index_batch(spark.createDataFrame(chunk).repartition(2), i)
+    store = inc.finalize()
+    # batch 0 evicted: only docids 40..119 remain
+    docids = sorted(r["docid"] for r in store.docs(spark).collect())
+    assert docids == list(range(40, 120))
+    assert store.stats["num_docs"] == 80
+    # no posting mentions an evicted docid
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    for row in store.postings(spark).collect():
+        ids, _, _ = decode_scoring_block(row["block"])
+        assert (ids >= 40).all()
+    # retrieval serves only retained docs, matching an oracle over
+    # exactly those 80 (collection stats shrink with the eviction);
+    # engine docid = oracle docid + 40, an order-preserving shift
+    oracle = OracleIndex(list(pdf["content"].iloc[40:120]),
+                         IndexConfig().pipeline)
+    got = search(spark, store, [("q", "sym1 sym2")],
+                 QueryConfig(k=15)).orderBy("rank").toPandas()
+    exp = [(d + 40, s) for d, s in
+           oracle.search("sym1 sym2", QueryConfig(k=15))]
+    assert list(got["docid"]) == [d for d, _ in exp]
+    for g, (_, s) in zip(got["score"], exp):
+        assert g == pytest.approx(s, abs=1e-6)
+
+    with pytest.raises(ValueError, match="delete_policy"):
+        IncrementalIndexer(str(tmp_path / "x"), delete_policy="bogus")
+
+
 def test_structured_streaming_end_to_end(spark, tmp_path):
     corpus = synth_source_corpus(spark, n_docs=90)
     pdf = corpus.toPandas()

@@ -131,7 +131,7 @@ def worker(cpus: int) -> None:
         # then repeated measured builds keeping the best — the fork's
         # repeat-and-keep-last discipline (TrecTerrier.java:47-50), with
         # min instead of last because the sandbox shares its host
-        reps = int(os.environ.get("SCALING_MEAS_REPS", "2"))
+        reps = int(os.environ.get("SCALING_MEAS_REPS", "3"))
         run_build(replicated(WARM_REPLICAS), f"{out}/warm")
         corpus = replicated(REPLICAS)
         times = []
@@ -210,22 +210,47 @@ def main() -> None:
     build_speedup = (
         results[hi]["build_docs_per_sec"] / results[lo]["build_docs_per_sec"]
     )
+    meas_reps = int(os.environ.get("SCALING_MEAS_REPS", "3"))
+    protocol = {
+        "replicas": REPLICAS,
+        "levels": LEVELS,
+        "meas_reps": meas_reps,
+        "mode": os.environ.get("SCALING_MODE", "executors"),
+        "builder": os.environ.get("SCALING_BUILDER", "resumable"),
+        "cpu_pinned": PIN_CPUS,
+        "pin_factor": float(os.environ.get("SCALING_PIN_FACTOR", "1.5")),
+    }
+    # The graded BASELINE.md protocol: 8M docs (sf0.1 x 1600), 1 vs 4 real
+    # 4-core executor processes, best-of-3 measured builds, pinned.  Only a
+    # run under exactly this protocol may write the graded evidence file;
+    # anything else (quick ad-hoc runs, experiments) writes the adhoc file
+    # so a stray invocation can't clobber the committed artifact again.
+    is_protocol = (
+        REPLICAS == 1600
+        and sorted(LEVELS) == [4, 16]
+        and meas_reps >= 3
+        and protocol["mode"] == "executors"
+        and protocol["builder"] == "resumable"
+        and PIN_CPUS
+    )
     report = {
         "levels": results,
         "parallelism_ratio": ratio,
         "build_throughput_speedup": round(build_speedup, 3),
         "build_scaling_efficiency": round(build_speedup / ratio, 3),
-        "cpu_pinned": PIN_CPUS,
         "sf_dir": SF_DIR,
-        "replicas": REPLICAS,
+        "protocol": protocol,
+        "protocol_compliant": is_protocol,
     }
     if results[lo].get("warm_query_sec") and results[hi].get("warm_query_sec"):
         qsp = results[lo]["warm_query_sec"] / results[hi]["warm_query_sec"]
         report["warm_query_speedup"] = round(qsp, 3)
         report["query_scaling_efficiency"] = round(qsp / ratio, 3)
     print(json.dumps(report, indent=2))
-    with open("BENCH_SCALING.json", "w") as fh:
+    out_file = "BENCH_SCALING.json" if is_protocol else "BENCH_SCALING_adhoc.json"
+    with open(out_file, "w") as fh:
         json.dump(report, fh, indent=2)
+    print(f"wrote {out_file}")
 
 
 if __name__ == "__main__":

@@ -128,6 +128,13 @@ class QueryConfig:
     # two-pass bound computation costs more than the decode it avoids, so
     # search falls back to the exhaustive plan.
     prune_min_postings: int = 100_000
+    # Below this many queries in a batch, the two-pass block-max prune
+    # keeps its survivor set lazy (folded into the main job) instead of
+    # eagerly materializing it: the eager path costs one extra Spark
+    # action (~0.3-0.7 s fixed overhead on this box), which doubles
+    # single-query latency while being a win amortized over a 900-query
+    # batch (where the persisted bucket-bound frame is reused).
+    prune_eager_min_queries: int = 64
     # Per-field weights / NormalisationB c parameters for BM25F, aligned
     # with the index's field order; None -> all 1.0 (the reference's
     # w.<fi> / c.<fi> property defaults,

@@ -359,7 +359,7 @@ def gate_field_index(spark: SparkSession, sf_dir: str) -> IndexStore:
         return store
     out = os.path.join(
         tempfile.gettempdir(),
-        "terrier_spark_gate_field_v1",
+        "terrier_spark_gate_field_v2",  # v2: per-field lexicon/block stats
         key.strip("/").replace("/", "_"),
     )
     if not os.path.exists(os.path.join(out, "manifest.json")):
@@ -875,8 +875,9 @@ scored AS (
 
 
 def _single_field_sql() -> str:
-    """SingleFieldModel(BM25, content): tf/dl from the content field,
-    nt and avgdl (= avg0 + avg1, the global average doclen) global."""
+    """SingleFieldModel(BM25, content): tf/dl from the content field; nt
+    stays global but avgdl is restricted to the ACTIVE field's tokens
+    (= avg1), per SingleFieldModel.setCollectionStatistics:107-125."""
     return f"""
 WITH {FIELD_TOKS_CTE},
 q(qid, term) AS (VALUES {_query_values()}),
@@ -884,7 +885,7 @@ scored AS (
   SELECT q.qid, ftf.doc_id,
          SUM(
            ftf.tf1
-           / (1.2 * (0.25 + 0.75 * flen.len1 / (fconsts.avg0 + fconsts.avg1))
+           / (1.2 * (0.25 + 0.75 * flen.len1 / fconsts.avg1)
               + ftf.tf1)
            * log2((fconsts.n - fnt.nt + 0.5) / (fnt.nt + 0.5))
          ) AS score

@@ -45,7 +45,11 @@ DEFAULT_BUCKET_SPAN = 1 << 16
 BLOCK_SCHEMA = (
     "term string, bucket long, block_id int, n int, first_docid long, "
     "last_docid long, max_tf int, min_dl int, tf_sum long, block binary, "
-    "pos binary, ftf binary, fln binary"
+    "pos binary, ftf binary, fln binary, "
+    # per-field block metadata (field indexes only, else null): per-field
+    # tf sums (-> lexicon FieldEntryStatistics, SingleFieldModel.java:131),
+    # per-field max tf and min length (-> field-aware block-max bounds)
+    "ftf_sum array<long>, max_ftf_f array<long>, min_fln_f array<long>"
 )
 
 
@@ -85,6 +89,7 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False,
             b1 = min(b0 + cfg_block_size, ids.size)
             blk_ids, blk_tfs, blk_dls = ids[b0:b1], tfs[b0:b1], dls[b0:b1]
             pos_bytes = ftf_bytes = fln_bytes = None
+            ftf_sum = max_ftf_f = min_fln_f = None
             if pos_lists is not None:
                 flat = np.concatenate(
                     [np.asarray(p, dtype=np.int64) for p in pos_lists[b0:b1]]
@@ -92,12 +97,21 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False,
                 pos_bytes = encode_positions(flat)
             if ftf_lists is not None:
                 # flattened n x F per-posting field tfs and field lengths
-                ftf_bytes = vbyte_encode(np.concatenate(
-                    [np.asarray(v, dtype=np.uint64) for v in ftf_lists[b0:b1]]
-                ))
-                fln_bytes = vbyte_encode(np.concatenate(
-                    [np.asarray(v, dtype=np.uint64) for v in fln_lists[b0:b1]]
-                ))
+                ftf_mat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in ftf_lists[b0:b1]]
+                )
+                fln_mat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in fln_lists[b0:b1]]
+                )
+                ftf_bytes = vbyte_encode(
+                    ftf_mat.reshape(-1).astype(np.uint64)
+                )
+                fln_bytes = vbyte_encode(
+                    fln_mat.reshape(-1).astype(np.uint64)
+                )
+                ftf_sum = ftf_mat.sum(axis=0).tolist()
+                max_ftf_f = ftf_mat.max(axis=0).tolist()
+                min_fln_f = fln_mat.min(axis=0).tolist()
             rows.append(
                 (
                     term,
@@ -113,6 +127,9 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False,
                     pos_bytes,
                     ftf_bytes,
                     fln_bytes,
+                    ftf_sum,
+                    max_ftf_f,
+                    min_fln_f,
                 )
             )
         return pd.DataFrame(
@@ -120,11 +137,43 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False,
             columns=[
                 "term", "bucket", "block_id", "n", "first_docid",
                 "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
-                "ftf", "fln",
+                "ftf", "fln", "ftf_sum", "max_ftf_f", "min_fln_f",
             ],
         )
 
     return encode
+
+
+def lexicon_from_blocks(blocks_df: DataFrame, nf: int = 0) -> DataFrame:
+    """One aggregation over block METADATA replaces the reference's
+    temp-lexicon merge machinery (LexiconBuilder.java:78,343-424): nt from
+    block posting counts, collection tf from per-block tf sums.  Field
+    indexes additionally get per-term per-field collection frequencies
+    (the FieldEntryStatistics surface SingleFieldModel consumes,
+    structures/FieldLexiconEntry semantics) and per-field (max_ftf,
+    min_fln) bounds for field-aware block-max pruning."""
+    aggs = [
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("tf_sum").cast("long").alias("tf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
+    ]
+    for i in range(nf):
+        aggs += [
+            F.sum(F.element_at("ftf_sum", i + 1)).cast("long").alias(f"__ftf{i}"),
+            F.max(F.element_at("max_ftf_f", i + 1)).cast("long").alias(f"__mx{i}"),
+            F.min(F.element_at("min_fln_f", i + 1)).cast("long").alias(f"__mn{i}"),
+        ]
+    lex = blocks_df.groupBy("term").agg(*aggs)
+    if nf:
+        lex = (
+            lex.withColumn("field_tf", F.array(*[f"__ftf{i}" for i in range(nf)]))
+            .withColumn("max_ftf_f", F.array(*[f"__mx{i}" for i in range(nf)]))
+            .withColumn("min_fln_f", F.array(*[f"__mn{i}" for i in range(nf)]))
+            .drop(*[c for i in range(nf)
+                    for c in (f"__ftf{i}", f"__mx{i}", f"__mn{i}")])
+        )
+    return lex
 
 
 def partition_counts(df: DataFrame) -> dict[int, int]:
@@ -339,11 +388,8 @@ def build_index(
     # no re-shuffle of posting rows.  termid = dense rank in
     # lexicographic term order (RunsMerger.java:236).
     blocks_df = spark.read.parquet(f"{out_dir}/postings")
-    lexicon = blocks_df.groupBy("term").agg(
-        F.sum("n").cast("long").alias("nt"),
-        F.sum("tf_sum").cast("long").alias("tf"),
-        F.max("max_tf").alias("max_tf"),
-        F.min("min_dl").alias("min_dl"),
+    lexicon = lexicon_from_blocks(
+        blocks_df, len(cfg.field_cols) if with_fields else 0
     )
     lexicon = assign_docids(lexicon, order_by=["term"], id_col="__rank")
     lexicon = lexicon.withColumn("termid", F.col("__rank").cast("long")).drop("__rank")
@@ -381,8 +427,9 @@ def build_index(
             ]
         ).collect()[0]
         stats["fields"] = [name for name, _ in cfg.field_cols]
+        stats["field_tokens"] = [int(frow[f"f{i}"] or 0) for i in range(nf)]
         stats["avg_field_lens"] = [
-            (int(frow[f"f{i}"] or 0) / num_docs) if num_docs else 0.0
+            (stats["field_tokens"][i] / num_docs) if num_docs else 0.0
             for i in range(nf)
         ]
 

@@ -80,26 +80,30 @@ def _rebase_blocks(offset: int, span: int):
                             encode_positions(pos_flat[pos_off[s]:pos_off[e]])
                             if pos_b is not None else None
                         )
-                        ft = (
-                            vbyte_encode(ftf_flat[s * nf:e * nf])
-                            if ftf_b is not None else None
-                        )
-                        fl = (
-                            vbyte_encode(fln_flat[s * nf:e * nf])
-                            if ftf_b is not None else None
-                        )
+                        ft = fl = fsum = fmax = fmin = None
+                        if ftf_b is not None:
+                            ft = vbyte_encode(ftf_flat[s * nf:e * nf])
+                            fl = vbyte_encode(fln_flat[s * nf:e * nf])
+                            fm = ftf_flat[s * nf:e * nf].reshape(-1, nf)
+                            lm = fln_flat[s * nf:e * nf].reshape(-1, nf)
+                            fsum = fm.sum(axis=0).astype(np.int64).tolist()
+                            fmax = fm.max(axis=0).astype(np.int64).tolist()
+                            fmin = lm.min(axis=0).astype(np.int64).tolist()
                     else:
-                        # positions/field vectors are docid-independent:
-                        # pass through unchanged
+                        # positions/field vectors (and the per-field block
+                        # metadata) are docid-independent: pass through
                         blk = encode_scoring_block(ids, tfs, dls)
                         n, max_tf = row.n, row.max_tf
                         min_dl, tf_sum = row.min_dl, row.tf_sum
                         p, ft, fl = pos_b, ftf_b, fln_b
+                        fsum = getattr(row, "ftf_sum", None)
+                        fmax = getattr(row, "max_ftf_f", None)
+                        fmin = getattr(row, "min_fln_f", None)
                     rows.append(
                         (
                             row.term, int(buckets[s]), row.block_id, n,
                             int(ids[s]), int(ids[e - 1]), max_tf, min_dl,
-                            tf_sum, blk, p, ft, fl,
+                            tf_sum, blk, p, ft, fl, fsum, fmax, fmin,
                         )
                     )
             if rows:
@@ -108,7 +112,7 @@ def _rebase_blocks(offset: int, span: int):
                     columns=["term", "bucket", "block_id", "n",
                              "first_docid", "last_docid", "max_tf",
                              "min_dl", "tf_sum", "block", "pos", "ftf",
-                             "fln"],
+                             "fln", "ftf_sum", "max_ftf_f", "min_fln_f"],
                 )
 
     return run
@@ -140,14 +144,19 @@ def merge_indexes(spark: SparkSession, a: IndexStore, b: IndexStore,
     meta.write.mode("overwrite").parquet(f"{out_dir}/meta")
 
     # postings: a verbatim, b re-based
-    schema = (
-        "term string, bucket long, block_id int, n int, first_docid long, "
-        "last_docid long, max_tf int, min_dl int, tf_sum long, block binary, "
-        "pos binary, ftf binary, fln binary"
-    )
-    blocks_a = a.postings(spark)
-    blocks_b = b.postings(spark).mapInPandas(
-        _rebase_blocks(offset, span_b), schema=schema
+    from terrier_spark.index.builder import BLOCK_SCHEMA
+
+    def _with_field_meta(df: DataFrame) -> DataFrame:
+        # indexes written before the per-field block metadata existed
+        # union cleanly with new ones (columns null)
+        for c in ("ftf_sum", "max_ftf_f", "min_fln_f"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("array<long>"))
+        return df
+
+    blocks_a = _with_field_meta(a.postings(spark))
+    blocks_b = _with_field_meta(b.postings(spark)).mapInPandas(
+        _rebase_blocks(offset, span_b), schema=BLOCK_SCHEMA
     )
     (
         blocks_a.unionByName(blocks_b)

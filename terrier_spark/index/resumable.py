@@ -97,6 +97,9 @@ def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
         ("max_tf", pa.int32()), ("min_dl", pa.int32()),
         ("tf_sum", pa.int64()), ("block", pa.binary()),
         ("pos", pa.binary()), ("ftf", pa.binary()), ("fln", pa.binary()),
+        ("ftf_sum", pa.list_(pa.int64())),
+        ("max_ftf_f", pa.list_(pa.int64())),
+        ("min_fln_f", pa.list_(pa.int64())),
     ])
     pq.write_table(
         pa.Table.from_pandas(blocks, schema=schema, preserve_index=False),
@@ -217,17 +220,21 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
             for b0 in range(s, e, cfg.block_size):
                 b1 = min(b0 + cfg.block_size, e)
                 pos_bytes = ftf_bytes = fln_bytes = None
+                ftf_sum = max_ftf_f = min_fln_f = None
                 if want_pos:
                     pos_bytes = encode_positions(
                         pos_flat[pos_offsets[b0]: pos_offsets[b1]]
                     )
                 if fields:
-                    ftf_bytes = vbyte_encode(ftf_flat[b0 * nf: b1 * nf])
+                    ftf_mat = ftf_flat[b0 * nf: b1 * nf].reshape(-1, nf)
+                    fln_mat = flens_arr[ids[b0:b1] - offset].reshape(-1, nf)
+                    ftf_bytes = vbyte_encode(ftf_mat.reshape(-1))
                     fln_bytes = vbyte_encode(
-                        flens_arr[ids[b0:b1] - offset].reshape(-1).astype(
-                            np.uint64
-                        )
+                        fln_mat.reshape(-1).astype(np.uint64)
                     )
+                    ftf_sum = ftf_mat.sum(axis=0).astype(np.int64).tolist()
+                    max_ftf_f = ftf_mat.max(axis=0).astype(np.int64).tolist()
+                    min_fln_f = fln_mat.min(axis=0).astype(np.int64).tolist()
                 block_rows.append(
                     (
                         term, bucket, (b0 - s) // cfg.block_size, b1 - b0,
@@ -237,13 +244,14 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
                         encode_scoring_block(ids[b0:b1], tfs[b0:b1],
                                              dls[b0:b1]),
                         pos_bytes, ftf_bytes, fln_bytes,
+                        ftf_sum, max_ftf_f, min_fln_f,
                     )
                 )
     blocks = pd.DataFrame(
         block_rows,
         columns=["term", "bucket", "block_id", "n", "first_docid",
                  "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
-                 "ftf", "fln"],
+                 "ftf", "fln", "ftf_sum", "max_ftf_f", "min_fln_f"],
     )
     return docs, meta, blocks, sha_acc.hexdigest()
 
@@ -345,11 +353,10 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
     # lexicon: merge per-segment partials (the RunsMerger pass) straight
     # from block METADATA — nt from posting counts, collection tf from
     # per-block tf sums; no block decode needed
-    lex = postings.groupBy("term").agg(
-        F.sum("n").cast("long").alias("nt"),
-        F.sum("tf_sum").cast("long").alias("tf"),
-        F.max("max_tf").alias("max_tf"),
-        F.min("min_dl").alias("min_dl"),
+    from terrier_spark.index.builder import lexicon_from_blocks
+
+    lex = lexicon_from_blocks(
+        postings, len(cfg.field_cols) if cfg.field_cols else 0
     )
     from terrier_spark.index.docids import assign_docids
 
@@ -384,8 +391,9 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
             ]
         ).collect()[0]
         stats["fields"] = [name for name, _ in cfg.field_cols]
+        stats["field_tokens"] = [int(frow[f"f{i}"] or 0) for i in range(nf)]
         stats["avg_field_lens"] = [
-            (int(frow[f"f{i}"] or 0) / num_docs) if num_docs else 0.0
+            (stats["field_tokens"][i] / num_docs) if num_docs else 0.0
             for i in range(nf)
         ]
     elapsed = time.time() - t0
@@ -482,7 +490,9 @@ def compact_postings(spark: SparkSession, store: IndexStore,
             ))
         src = srcs[0]
         for extra in srcs[1:]:
-            src = src.unionByName(extra)
+            # a compact file written before the per-field block metadata
+            # existed unions cleanly with new segments (columns null)
+            src = src.unionByName(extra, allowMissingColumns=True)
     else:
         src = store.postings(spark)  # monolithic recompress path
 

@@ -85,6 +85,12 @@ class IndexStore:
         from pyspark.sql import functions as F
 
         cols = ["term", "nt", "tf", "max_tf", "min_dl"]
+        if self.stats.get("fields"):
+            # field indexes carry per-term per-field collection stats
+            # (FieldEntryStatistics analog) when built by this version
+            lex_cols = set(self.lexicon(spark).columns)
+            cols += [c for c in ("field_tf", "max_ftf_f", "min_fln_f")
+                     if c in lex_cols]
         if self._lexicon_pdf is None and (
             self.stats.get("num_terms", 1 << 60) <= self.LEXICON_CACHE_MAX_TERMS
         ):

@@ -26,6 +26,8 @@ from typing import Callable, Dict
 
 import numpy as np
 
+from typing import Optional
+
 LOG2E = 1.0 / math.log(2.0)
 
 
@@ -586,8 +588,12 @@ _PER_FIELD_NAME = re.compile(
 def single_field_kernel(base: str, field_ids: tuple):
     """SingleFieldModel (matching/models/SingleFieldModel.java): score the
     base model on (sum of active fields' tfs, sum of active fields'
-    lengths) with GLOBAL collection statistics; tf==0 -> 0.  avgdl is the
-    sum of the per-field averages (doclen = sum of field lengths)."""
+    lengths); tf==0 -> 0.  Collection statistics are restricted to the
+    ACTIVE fields (setCollectionStatistics:107-125: numberOfTokens = sum
+    of active fields' token counts, averageDocumentLength = that / N;
+    setEntryStatistics:128-142: collection TF = sum of active fields'
+    frequencies, documentFrequency stays global) — `num_tokens` and `F`
+    arrive here ALREADY restricted by the search layer."""
 
     def kernel(ftf, fln, qtf, nt, F, N, weights, cs, avg_flens, num_tokens):
         ftf = np.asarray(ftf, dtype=np.float64)
@@ -595,7 +601,7 @@ def single_field_kernel(base: str, field_ids: tuple):
         ids = list(field_ids)
         tf = ftf[:, ids].sum(axis=1)
         dl = fln[:, ids].sum(axis=1)
-        avgdl = float(np.asarray(avg_flens, dtype=np.float64).sum())
+        avgdl = float(num_tokens) / N
         base_kernel = get_model(base).kernel
         with np.errstate(divide="ignore", invalid="ignore"):
             s = base_kernel(tf, dl, qtf, nt, F, N, avgdl, num_tokens)
@@ -615,6 +621,40 @@ class ModelSpec:
     kernel: Callable
     prunable: bool  # monotone in tf (inc) and dl (dec): block-max safe
     needs_fields: bool = False  # scores from per-field tf/length vectors
+    # field-model block-max bound: fn(max_ftf, min_fln, qtf, nt, N,
+    # weights, cs, avg_flens) -> per-block score upper bound, where
+    # max_ftf/min_fln are the block's per-field (n_blocks, nf) metadata.
+    # Only set for field models whose score is monotone increasing in
+    # every ftf_i and decreasing in every fln_i over the feasible domain.
+    field_bound: Optional[Callable] = None
+    # SingleFieldModel stat restriction: field ids whose token/TF sums
+    # replace the global collection statistics (documentFrequency global)
+    active_fields: Optional[tuple] = None
+
+
+def bm25f_field_ub(max_ftf, min_fln, qtf, nt, N, weights, cs, avg_flens,
+                   k1=1.2, k3=8.0):
+    """Per-block upper bound for BM25F.  Each tfn_i = w_i*tf_i/norm_i with
+    norm_i = 1 - c_i + c_i*len_i/av_i is increasing in tf_i and decreasing
+    in len_i, and a real posting with tf_i > 0 has len_i >= tf_i >= 1, so
+    evaluating at (block max_ftf_i, max(block min_fln_i, 1)) bounds every
+    posting's tfn_i; BM's (k1+1)tfn/(k1+tfn) is increasing in tfn; the
+    0-clamp keeps the bound valid when idf goes negative (every actual
+    score is then negative)."""
+    mf = np.asarray(max_ftf, dtype=np.float64)
+    ml = np.maximum(np.asarray(min_fln, dtype=np.float64), 1.0)
+    w = np.asarray(weights, dtype=np.float64)
+    c = np.asarray(cs, dtype=np.float64)
+    av = np.asarray(avg_flens, dtype=np.float64)
+    qtf, nt = _f64(qtf, nt)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = 1.0 - c + c * ml / av
+        tfn_i = np.where(mf > 0, w * mf / norm, 0.0)
+    tfn = np.nan_to_num(tfn_i, nan=0.0, posinf=0.0).sum(axis=1)
+    qk = (k3 + 1.0) * qtf / (k3 + qtf)
+    idf = np.log2((N - nt + 0.5) / (nt + 0.5))
+    ub = qk * ((k1 + 1.0) * tfn / (k1 + tfn)) * idf
+    return np.maximum(np.where(tfn == 0.0, 0.0, ub), 0.0)
 
 
 MODELS: Dict[str, ModelSpec] = {
@@ -647,7 +687,8 @@ MODELS: Dict[str, ModelSpec] = {
     "Tf": ModelSpec(tf_model, True),
     # field-aware: needs ftf/fln block vectors (per-field bounds are not
     # captured by (max_tf, min_dl), so no block-max pruning)
-    "BM25F": ModelSpec(bm25f, False, needs_fields=True),
+    "BM25F": ModelSpec(bm25f, False, needs_fields=True,
+                       field_bound=bm25f_field_ub),
     "PL2F": ModelSpec(pl2f, False, needs_fields=True),
     "ML2": ModelSpec(ml2, False, needs_fields=True),
     "MDL2": ModelSpec(mdl2, False, needs_fields=True),
@@ -682,7 +723,8 @@ def get_model(name: str) -> ModelSpec:
         ids = tuple(int(x) for x in m.group("ids").split(",") if x.strip())
         get_model(base)  # validate base name eagerly
         spec = ModelSpec(
-            single_field_kernel(base, ids), prunable=False, needs_fields=True
+            single_field_kernel(base, ids), prunable=False,
+            needs_fields=True, active_fields=ids,
         )
         MODELS[name] = spec
         return spec

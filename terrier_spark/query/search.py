@@ -72,8 +72,18 @@ def _qterm_stats(spark: SparkSession, store: IndexStore, qterms: pd.DataFrame,
     if merged.empty:
         return empty
     merged = merged.copy()
-    if get_model(qcfg.model).needs_fields:
-        merged["term_ub"] = 0.0  # field models run unpruned
+    spec = get_model(qcfg.model)
+    if spec.needs_fields:
+        if spec.active_fields and "field_tf" in merged.columns:
+            # SingleFieldModel.setEntryStatistics:128-142: the collection
+            # term frequency is restricted to the active fields (document
+            # frequency nt stays global; the low-idf drop above already
+            # used the global tfc, as PostingListManager does)
+            merged["tfc"] = [
+                int(sum(row[i] for i in spec.active_fields))
+                for row in merged["field_tf"]
+            ]
+        merged["term_ub"] = 0.0  # block bounds computed from field metadata
         return merged
     # upper bound: monotone models bound every posting by (max_tf, min_dl);
     # clamped at 0 (valid when the idf factor goes negative, where every
@@ -197,16 +207,9 @@ def search_terms(
     )
     joined = blocks.join(F.broadcast(qs_df), "term")
 
-    total_postings = int(qstats["nt"].sum())
-    if (
-        qcfg.prune
-        and get_model(qcfg.model).prunable
-        and total_postings >= qcfg.prune_min_postings
-    ):
-        joined = _prune_buckets(spark, joined, qcfg, N, avgdl, T)
-
     spec = get_model(qcfg.model)
     field_params = None
+    T_eff = T
     sel_cols = ["qid", "qtf", "nt", "tfc", "block"]
     if spec.needs_fields:
         fields = store.stats.get("fields")
@@ -221,6 +224,29 @@ def search_terms(
         cs = list(qcfg.field_c or [1.0] * nf)
         field_params = (weights, cs, avg_flens)
         sel_cols += ["ftf", "fln"]
+        if spec.active_fields:
+            # SingleFieldModel.setCollectionStatistics:107-125: collection
+            # token count (and so avgdl) restricted to the active fields
+            field_tokens = store.stats.get("field_tokens") or [
+                round(a * N) for a in avg_flens
+            ]
+            T_eff = sum(field_tokens[i] for i in spec.active_fields)
+
+    total_postings = int(qstats["nt"].sum())
+    can_field_prune = (
+        spec.field_bound is not None and "max_ftf_f" in blocks.columns
+    )
+    if (
+        qcfg.prune
+        and (spec.prunable or can_field_prune)
+        and total_postings >= qcfg.prune_min_postings
+    ):
+        n_queries = qstats["qid"].nunique()
+        joined = _prune_buckets(
+            spark, joined, qcfg, N, avgdl, T_eff,
+            eager=n_queries >= qcfg.prune_eager_min_queries,
+            spec=spec, field_params=field_params,
+        )
     # a small postings scan (few parquet files) can collapse to 1-2 input
     # partitions, serializing the decode; spread the joined block rows
     # when the scan gives less parallelism than the session default
@@ -231,7 +257,7 @@ def search_terms(
     if store.postings_scan_partitions(spark) < max(default_par // 2, 2):
         selected = selected.repartition(default_par)
     decoded = selected.mapInPandas(
-        _decode_score_udf(qcfg.model, N, avgdl, T, field_params),
+        _decode_score_udf(qcfg.model, N, avgdl, T_eff, field_params),
         schema="qid string, docid long, score double",
     )
     scored = decoded.groupBy("qid", "docid").agg(F.sum("score").alias("score"))
@@ -245,7 +271,9 @@ def search_terms(
 
 
 def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
-                   N: int, avgdl: float, T: int) -> DataFrame:
+                   N: int, avgdl: float, T: int,
+                   eager: bool = True, spec=None,
+                   field_params=None) -> DataFrame:
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -255,31 +283,65 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
 
     A pruned bucket's every doc satisfies score <= UB < theta <= kth best,
     so the final top-k is identical to the exhaustive plan (verified by
-    tests/test_search.py::test_pruned_equals_unpruned)."""
-    kernel = get_model(qcfg.model).kernel
+    tests/test_search.py::test_pruned_equals_unpruned).
 
-    @F.pandas_udf(DoubleType())
-    def block_ub(max_tf: pd.Series, min_dl: pd.Series, qtf: pd.Series,
-                 nt: pd.Series, tfc: pd.Series) -> pd.Series:
-        ub = kernel(
-            max_tf.to_numpy(np.float64), min_dl.to_numpy(np.float64),
-            qtf.to_numpy(np.float64), nt.to_numpy(np.float64),
-            tfc.to_numpy(np.float64), N, avgdl, T,
+    eager=True (large batches) persists the bucket-bound frame and
+    materializes the survivor set driver-side — one extra Spark action,
+    amortized over hundreds of queries.  eager=False (small batches /
+    single queries) keeps the whole two-pass plan lazy so the caller's
+    action is the ONLY job: the bucket-bound aggregation is recomputed in
+    both passes, but it is a metadata-only agg (no posting decode) and
+    costs far less than a second job's fixed overhead.
+
+    Field models with a `field_bound` (BM25F) bound blocks from the
+    per-field (max_ftf_f, min_fln_f) metadata instead of (max_tf,
+    min_dl) — the WAND fork's pruning extended to fielded scoring."""
+    spec = spec or get_model(qcfg.model)
+    kernel = spec.kernel
+    field_pruned = spec.field_bound is not None
+
+    if field_pruned:
+        fbound = spec.field_bound
+        weights, cs, avg_flens = field_params
+
+        @F.pandas_udf(DoubleType())
+        def block_ub(max_ftf_f: pd.Series, min_fln_f: pd.Series,
+                     qtf: pd.Series, nt: pd.Series) -> pd.Series:
+            mf = np.stack(list(max_ftf_f))
+            ml = np.stack(list(min_fln_f))
+            ub = fbound(mf, ml, qtf.to_numpy(np.float64),
+                        nt.to_numpy(np.float64), N, weights, cs, avg_flens)
+            return pd.Series(np.asarray(ub, dtype=np.float64))
+
+        block_ubs = joined.withColumn(
+            "block_ub",
+            block_ub(F.col("max_ftf_f"), F.col("min_fln_f"),
+                     F.col("qtf"), F.col("nt")),
         )
-        return pd.Series(np.maximum(ub, 0.0))
+    else:
+        @F.pandas_udf(DoubleType())
+        def block_ub(max_tf: pd.Series, min_dl: pd.Series, qtf: pd.Series,
+                     nt: pd.Series, tfc: pd.Series) -> pd.Series:
+            ub = kernel(
+                max_tf.to_numpy(np.float64), min_dl.to_numpy(np.float64),
+                qtf.to_numpy(np.float64), nt.to_numpy(np.float64),
+                tfc.to_numpy(np.float64), N, avgdl, T,
+            )
+            return pd.Series(np.maximum(ub, 0.0))
 
-    block_ubs = joined.withColumn(
-        "block_ub",
-        block_ub(F.col("max_tf"), F.col("min_dl"), F.col("qtf"),
-                 F.col("nt"), F.col("tfc")),
-    )
+        block_ubs = joined.withColumn(
+            "block_ub",
+            block_ub(F.col("max_tf"), F.col("min_dl"), F.col("qtf"),
+                     F.col("nt"), F.col("tfc")),
+        )
     bucket_ub = (
         block_ubs.groupBy("qid", "bucket", "term")
         .agg(F.max("block_ub").alias("t_ub"))
         .groupBy("qid", "bucket")
         .agg(F.sum("t_ub").alias("bucket_ub"))
     )
-    bucket_ub.persist()
+    if eager:
+        bucket_ub.persist()
     try:
         # pass 1: best bucket per qid
         w = Window.partitionBy("qid").orderBy(
@@ -293,11 +355,15 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
         # a repartition this decode would run on a handful of tasks and
         # serialize the whole two-pass prune (measured: ~2 min of the
         # 900-query batch at 32 cores before this spread)
-        sel1 = pass1.select("qid", "qtf", "nt", "tfc", "block").repartition(
+        sel1_cols = ["qid", "qtf", "nt", "tfc", "block"] + (
+            ["ftf", "fln"] if spec.needs_fields else []
+        )
+        sel1 = pass1.select(*sel1_cols).repartition(
             spark.sparkContext.defaultParallelism
         )
         decoded1 = sel1.mapInPandas(
-            _decode_score_udf(qcfg.model, N, avgdl, T),
+            _decode_score_udf(qcfg.model, N, avgdl, T,
+                              field_params if spec.needs_fields else None),
             schema="qid string, docid long, score double",
         )
         kth = (
@@ -314,22 +380,24 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                 ).otherwise(F.lit(float("-inf"))).alias("theta"),
             )
         )
-        # materialize the surviving (qid, bucket) pairs NOW: they would be
-        # broadcast (= collected to the driver) anyway, and doing it
-        # eagerly lets the cached bucket_ub be released deterministically
-        # instead of leaking across queries in a long-lived session
-        survivors_pdf = (
+        survivors = (
             bucket_ub.join(F.broadcast(kth), "qid", "left")
             .filter(
                 F.col("theta").isNull()
                 | (F.col("bucket_ub") >= F.col("theta"))
             )
             .select("qid", "bucket")
-            .toPandas()
         )
+        if eager:
+            # materialize the surviving (qid, bucket) pairs NOW: they
+            # would be broadcast (= collected to the driver) anyway, and
+            # doing it eagerly lets the cached bucket_ub be released
+            # deterministically instead of leaking across queries in a
+            # long-lived session
+            survivors = spark.createDataFrame(
+                survivors.toPandas(), schema="qid string, bucket long"
+            )
     finally:
-        bucket_ub.unpersist()
-    survivors = spark.createDataFrame(
-        survivors_pdf, schema="qid string, bucket long"
-    )
+        if eager:
+            bucket_ub.unpersist()
     return joined.join(F.broadcast(survivors), ["qid", "bucket"])

@@ -137,7 +137,10 @@ def test_field_restriction(spark, engine):
 
 def test_single_field_model(spark, engine):
     """SingleFieldModel.java: base model scored on the active fields' tf
-    and length sums, global statistics; tf==0 in those fields -> 0."""
+    and length sums; collection statistics RESTRICTED to the active
+    fields (setCollectionStatistics:107-125 — numberOfTokens and avgdl
+    from active fields only; documentFrequency stays global); tf==0 in
+    those fields -> 0."""
     import math
 
     store, oracle, pdf = engine
@@ -146,9 +149,9 @@ def test_single_field_model(spark, engine):
     got = search(spark, store, [("q", "sym1 sym3")], qcfg).orderBy(
         "rank").toPandas()
     # literal reference port: BM25(tf_content, len_content) with global
-    # N/nt and avgdl = sum of per-field averages
+    # N/nt and avgdl = active field's average length
     N = oracle.num_docs
-    avgdl = sum(oracle.avg_field_lens)
+    avgdl = oracle.avg_field_lens[1]
     acc = {}
     for term in ("sym1", "sym3"):
         plist = oracle.postings.get(term, {})
@@ -165,6 +168,71 @@ def test_single_field_model(spark, engine):
     assert list(got["docid"]) == [d for d, _ in exp]
     for g, (_, s) in zip(got["score"], exp):
         assert g == pytest.approx(s, abs=1e-6)
+
+
+def test_single_field_entry_stats_restricted(spark, engine):
+    """setEntryStatistics:128-142: the collection term frequency handed to
+    the base model is the sum of the ACTIVE fields' frequencies, and
+    numberOfTokens (setCollectionStatistics:113-120) is the active
+    fields' token total — exercised with a base model that actually uses
+    F and num_tokens (DirichletLM)."""
+    import math
+
+    store, oracle, pdf = engine
+    # active-field (content) statistics from the oracle
+    lex = store.lexicon(spark).filter("term = 'sym1'").toPandas()
+    plist = oracle.postings["sym1"]
+    f_active = sum(ftf[1] for ftf in plist.values())
+    f_global = sum(sum(ftf) for ftf in plist.values())
+    assert list(lex["field_tf"])[0][1] == f_active
+    assert int(lex["tf"].iloc[0]) == f_global
+    t_active = sum(fl[1] for fl in oracle.field_lens)
+    assert store.stats["field_tokens"][1] == t_active
+
+    qcfg = QueryConfig(k=30, model="SingleField(DirichletLM,1)",
+                       ignore_low_idf=False)
+    got = search(spark, store, [("q", "sym1")], qcfg).orderBy(
+        "rank").toPandas()
+    mu = 2500.0
+    acc = {}
+    for docid, ftf in plist.items():
+        tf = ftf[1]
+        if tf == 0:
+            continue
+        dl = oracle.field_lens[docid][1]
+        acc[docid] = (
+            math.log2(1.0 + tf / (mu * (f_active / t_active)))
+            + math.log2(mu / (dl + mu))
+        )
+    exp = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert list(got["docid"]) == [d for d, _ in exp]
+    for g, (_, s) in zip(got["score"], exp):
+        assert g == pytest.approx(s, abs=1e-6)
+
+
+@pytest.mark.parametrize("eager_min", [0, 1_000_000],
+                         ids=["eager_survivors", "lazy_survivors"])
+def test_bm25f_pruned_equals_unpruned(spark, engine, eager_min):
+    """Field-aware block-max pruning (per-block per-field max_ftf/min_fln
+    bounds) must be invisible in results — the BM25F clone of
+    test_search.test_pruned_equals_unpruned."""
+    store, oracle, _ = engine
+    queries = [("q1", "sym1 py sym7"), ("q2", "src sym0 class"),
+               ("q3", "sym12 sym3 java")]
+    base = dict(model="BM25F", ignore_low_idf=False, k=15,
+                field_weights=(2.0, 1.0), field_c=(0.5, 0.9))
+    pruned = search(
+        spark, store, queries,
+        QueryConfig(prune=True, prune_min_postings=0,
+                    prune_eager_min_queries=eager_min, **base),
+    ).orderBy("qid", "rank").toPandas()
+    unpruned = search(
+        spark, store, queries, QueryConfig(prune=False, **base),
+    ).orderBy("qid", "rank").toPandas()
+    assert list(pruned["docid"]) == list(unpruned["docid"])
+    assert list(pruned["qid"]) == list(unpruned["qid"])
+    for a, b in zip(pruned["score"], unpruned["score"]):
+        assert a == pytest.approx(b, abs=1e-9)
 
 
 def test_segmented_field_build_parity(spark, tmp_path):

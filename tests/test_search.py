@@ -103,11 +103,15 @@ def test_rank_identity_synth_corpus(spark, tmp_path):
     run_and_compare(spark, store, oracle, queries, qcfg)
 
 
-def test_pruned_equals_unpruned(spark, engine):
+@pytest.mark.parametrize("eager_min", [0, 1_000_000],
+                         ids=["eager_survivors", "lazy_survivors"])
+def test_pruned_equals_unpruned(spark, engine, eager_min):
     store, oracle = engine
     queries = make_queries(oracle, n_per_bucket=2, seed=7)
     a = (
-        search(spark, store, queries, QueryConfig(k=20, prune=True, prune_min_postings=0))
+        search(spark, store, queries,
+               QueryConfig(k=20, prune=True, prune_min_postings=0,
+                           prune_eager_min_queries=eager_min))
         .orderBy("qid", "rank").toPandas()
     )
     b = (

@@ -149,6 +149,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                 )
         ok = dfreq.filter(F.col("__df") <= max_shingle_df).select("shingle")
         sh = sh.join(ok, "shingle", "left_semi")
+        persisted = None
+    else:
+        # the exact path feeds sh into THREE subtrees (sizes + both
+        # sides of the self-join): cache it for the duration of the
+        # pair computation so shingling/distinct runs once, and
+        # localCheckpoint the result so the cache can be released
+        # before returning (the returned frame no longer references sh)
+        persisted = sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -170,6 +178,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if persisted is not None:
+        out = out.localCheckpoint()  # materializes while sh is cached
+        persisted.unpersist()
     return out
 
 

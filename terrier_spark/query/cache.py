@@ -9,6 +9,8 @@ repeated queries of a long-lived session without a Spark job.
 
 from __future__ import annotations
 
+import json
+import os
 from collections import OrderedDict
 from typing import Optional, Sequence, Tuple
 
@@ -63,8 +65,38 @@ class QueryResultCache:
         return len(self._map)
 
 
-def _key(text: str, qcfg: QueryConfig) -> tuple:
-    return (" ".join(text.split()), qcfg.model, qcfg.k, qcfg.ignore_low_idf)
+def _store_version(store: IndexStore) -> tuple:
+    """Identity + version marker for the index behind a cache entry.  The
+    manifest is re-read from disk (a small driver-side JSON) so in-place
+    mutations — incremental ingests, geometric merges, delete-policy
+    drops, compaction — on the SAME path invalidate entries even when the
+    caller holds a stale IndexStore handle.  One cache instance can thus
+    safely serve several stores."""
+    try:
+        with open(os.path.join(store.path, "manifest.json")) as fh:
+            m = json.load(fh)
+    except OSError:  # store deleted out from under us: never match
+        return (store.path, None)
+    stats = m.get("stats") or {}
+    return (
+        store.path,
+        m.get("version"),
+        m.get("layout"),
+        stats.get("num_docs"),
+        stats.get("num_terms"),
+        stats.get("num_tokens"),
+        tuple(m.get("compacted_segments") or ()),
+    )
+
+
+def _key(text: str, qcfg: QueryConfig, store_version: tuple = ()) -> tuple:
+    return (
+        store_version,
+        " ".join(text.split()),
+        qcfg.model,
+        qcfg.k,
+        qcfg.ignore_low_idf,
+    )
 
 
 def cached_search(
@@ -78,9 +110,10 @@ def cached_search(
     Spark job; only the misses run (as one batch), and their results are
     inserted.  -> (qid, rank, docid, score)."""
     qcfg = qcfg or QueryConfig()
+    sv = _store_version(store)
     hit_frames, misses = [], []
     for qid, text in queries:
-        got = cache.get(_key(text, qcfg))
+        got = cache.get(_key(text, qcfg, sv))
         if got is None:
             misses.append((qid, text))
         else:
@@ -90,7 +123,7 @@ def cached_search(
         miss_pdf = search(spark, store, misses, qcfg).toPandas()
         for qid, text in misses:
             grp = miss_pdf[miss_pdf["qid"] == str(qid)]
-            cache.put(_key(text, qcfg), grp.drop(columns=["qid"]))
+            cache.put(_key(text, qcfg, sv), grp.drop(columns=["qid"]))
     frames = hit_frames + ([miss_pdf] if miss_pdf is not None else [])
     if not frames:
         return spark.createDataFrame([], RESULT_SCHEMA)

@@ -215,6 +215,26 @@ def search_with_dsms(
     qterm_rows, idx_rows, negatives = [], [], {}
     for qid, text in queries:
         parsed = parse_query(text, fields or None)
+        # the DSM chain scores flat term bags; silently dropping a
+        # parsed phrase / field restriction / OR-group would change the
+        # query's meaning without warning — refuse and point at the path
+        # that honours them (search_structured applies them before the
+        # same matching core)
+        unsupported = [
+            name
+            for name, got in (
+                ("phrases", parsed.phrases),
+                ("field restrictions", parsed.field_terms),
+                ("disjunctive groups", parsed.disjunctions),
+            )
+            if got
+        ]
+        if unsupported:
+            raise ValueError(
+                f"query {qid!r} uses {', '.join(unsupported)}, which "
+                "search_with_dsms does not apply — run it through "
+                "search_structured, or drop the construct explicitly"
+            )
         seen: list[str] = []
         weights: dict[str, float] = {}
         for raw, wt in parsed.terms:

@@ -46,9 +46,9 @@ from dataclasses import dataclass, field
 from typing import List, Tuple
 
 _PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
-_SEGMENT_RE = re.compile(r'\[([^\[\]]*)\]?')
+_SEGMENT_RE = re.compile(r'\[([^\[\]]*)\]')
 _DISJ_RE = re.compile(r'\{([^{}]*)\}')
-_GROUP_RE = re.compile(r'([+-]|\w+:)?\(([^()]*)\)?')
+_GROUP_RE = re.compile(r'([+-]|\w+:)?\(([^()]*)\)')
 _TOKEN_RE = re.compile(r'([+-]?)([^\s^]+)(?:\^(\d+(?:\.\d+)?))?')
 
 
@@ -104,6 +104,15 @@ def parse_query(text: str, fields: Tuple[str, ...] | None = None
         ) + " "
 
     rest = _GROUP_RE.sub(eat_group, rest)
+    # every bracket construct must have been consumed by now: leftover
+    # bracket/quote characters mean unbalanced or nested grouping, which
+    # the reference ANTLR grammar rejects rather than mis-parses
+    leftover = [c for c in rest if c in '()[]{}"']
+    if leftover:
+        raise ValueError(
+            f"malformed query {text!r}: unbalanced or nested grouping "
+            f"(leftover {''.join(leftover)!r} after parsing)"
+        )
     for m in _TOKEN_RE.finditer(rest):
         prefix, tok, boost = m.group(1), m.group(2), m.group(3)
         if ":" in tok:

@@ -53,6 +53,41 @@ def test_result_cache_round_trip(spark, store):
     assert cache.misses == 4
 
 
+def test_cache_invalidated_by_store_change(spark, tmp_path):
+    """The key carries store identity + a manifest-derived version, so an
+    in-place mutation of the SAME path (incremental ingest, compaction,
+    delete-policy drop) stops serving stale entries — even through a
+    stale IndexStore handle (the manifest is re-read from disk)."""
+    import json
+    import os
+
+    out = str(tmp_path / "vidx")
+    corpus = synth_source_corpus(spark, n_docs=60)
+    store = build_index(spark, corpus, out, IndexConfig(), bucket_span=64)
+    qcfg = QueryConfig(k=5, ignore_low_idf=False)
+    cache = QueryResultCache()
+    cached_search(spark, store, [("a", "sym1")], cache, qcfg)
+    cached_search(spark, store, [("a", "sym1")], cache, qcfg)
+    assert cache.hits == 1 and cache.misses == 1
+    # simulate an in-place ingest: the manifest's stats change on disk
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    manifest["stats"]["num_docs"] += 1
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+    cached_search(spark, store, [("a", "sym1")], cache, qcfg)
+    assert cache.misses == 2  # stale entry not served
+    # a different store path never collides either
+    out2 = str(tmp_path / "vidx2")
+    store2 = build_index(
+        spark, synth_source_corpus(spark, n_docs=60), out2,
+        IndexConfig(), bucket_span=64,
+    )
+    cached_search(spark, store2, [("a", "sym1")], cache, qcfg)
+    assert cache.misses == 3
+
+
 def test_null_cache_is_default_off(spark, store):
     qcfg = QueryConfig(k=5, ignore_low_idf=False)
     cache = NullQueryResultCache()

@@ -163,3 +163,14 @@ def test_dsm_chain_composes(spark, engine):
     both = sorted(set(oracle.postings[a]) & set(oracle.postings[b]))
     # prior = 250 - docid: ranking is ascending docid
     assert list(got["docid"]) == both[:15]
+
+
+def test_dsm_rejects_unsupported_constructs(spark, engine):
+    """Phrases / field restrictions / OR-groups are not applied by the
+    DSM path — it must refuse them loudly, not silently drop them."""
+    store, oracle, usable = engine
+    a, b = usable[0], usable[1]
+    for bad in [f'"{a} {b}" {a}', f"{{{a} {b}}} {a}"]:
+        with pytest.raises(ValueError, match="search_structured"):
+            search_with_dsms(spark, store, [("q", bad)],
+                             [BooleanScoreModifier()], QueryConfig(k=5))

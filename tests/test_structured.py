@@ -28,6 +28,17 @@ def test_field_restriction_is_loud():
         parse_query("lang:python code")
 
 
+def test_malformed_grouping_raises():
+    """Unbalanced / nested grouping is rejected (the reference ANTLR
+    grammar errors on it) instead of silently mis-parsing."""
+    for bad in ["(a (b c))", "[a b", "a)", "(a b", "a]", "{a b",
+                'un"closed']:
+        with pytest.raises(ValueError, match="malformed query"):
+            parse_query(bad)
+    # balanced constructs still parse
+    parse_query('(a b) [c d] {e f} "g h"')
+
+
 def test_parse_groups_segments_disjunctions():
     # disjunctive group -> one OR-synthetic term (terrier.g:196-209)
     p = parse_query("alpha {beta gamma} delta")

@@ -23,7 +23,7 @@ Positions index the KEPT pipeline term stream (BlockIndexer semantics).
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator, Optional, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -128,6 +128,127 @@ def phrase_docs(spark: SparkSession, store: IndexStore,
             .filter(F.size("starts") > 0)
         )
     return cur.select("docid").distinct()
+
+
+def batch_hits(spark: SparkSession, store: IndexStore,
+               jobs: Sequence[Tuple[int, Sequence[str], Optional[int]]]
+               ) -> DataFrame:
+    """Evaluate MANY phrase/proximity constraints in ONE flat plan.
+
+    jobs: (job_id, terms, window) — window None means exact phrase
+    (consecutive positions), an int means unordered proximity within that
+    window of an anchor occurrence of the first term.  Returns
+    (job_id, docid) for every job/doc satisfying the constraint.
+
+    Unlike a per-job loop (plan depth linear in #jobs — pathological for
+    a 900-phrase-query batch), this is constant-depth regardless of job
+    count:
+
+      1. decode positions ONCE for the union of all job terms, after a
+         metadata-only bucket prune (a bucket can serve job j only if it
+         holds every term of j — the same block-AND phrase_docs does,
+         unioned across jobs);
+      2. broadcast-join postings to (job_id, offset) assignments;
+      3. docid-level AND per (job_id, docid) via count_distinct(term);
+      4. evaluate the phrase/window predicate per surviving (job, doc)
+         with a JVM fold (F.aggregate) over the packed position arrays —
+         phrase: starts fold  S_i = S_{i-1} ∩ (positions_i − offset_i);
+         proximity: anchors of term 0 filtered by an |Δ| ≤ window exists
+         check per other term.  No Python in the hot path.
+    """
+    if not store.manifest.get("positions"):
+        raise ValueError(
+            "index was built without positions (IndexConfig.positions=True "
+            "required for phrase/proximity)"
+        )
+    if not jobs:
+        return spark.createDataFrame([], "job_id int, docid long")
+    assign_rows, meta_rows = [], []
+    for job_id, terms, window in jobs:
+        for off, t in enumerate(terms):
+            assign_rows.append((int(job_id), t, off))
+        meta_rows.append((
+            int(job_id), len(set(terms)),
+            -1 if window is None else int(window),
+        ))
+    jm = F.broadcast(spark.createDataFrame(
+        pd.DataFrame(assign_rows, columns=["job_id", "term", "offset"])
+    ))
+    jmeta = F.broadcast(spark.createDataFrame(
+        pd.DataFrame(meta_rows, columns=["job_id", "n_terms", "window"])
+    ))
+    all_terms = sorted({t for _, t, _ in assign_rows})
+    blocks = store.postings(spark).filter(F.col("term").isin(all_terms))
+    # metadata-only prune: keep a bucket iff it contains every term of at
+    # least one job (bucket labels partition docids identically across
+    # terms, so a doc matching job j lives in a bucket holding all of
+    # j's terms)
+    ok_buckets = (
+        blocks.select("term", "bucket").join(jm, "term")
+        .groupBy("job_id", "bucket")
+        .agg(F.count_distinct("term").alias("__nt"))
+        .join(jmeta, "job_id")
+        .filter(F.col("__nt") == F.col("n_terms"))
+        .select("bucket").distinct()
+    )
+    blocks = blocks.join(ok_buckets, "bucket", "left_semi")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, tfs, _ = decode_scoring_block(row.block)
+                if ids.size == 0 or row.pos is None:
+                    continue
+                outs.append(pd.DataFrame({
+                    "term": row.term,
+                    "docid": ids,
+                    "positions": decode_positions(row.pos, tfs),
+                }))
+            if outs:
+                yield pd.concat(outs)
+
+    rows = blocks.select("term", "block", "pos").mapInPandas(
+        decode, schema="term string, docid long, positions array<long>"
+    )
+    grouped = (
+        rows.join(jm, "term")
+        .groupBy("job_id", "docid")
+        .agg(
+            F.count_distinct("term").alias("__nt"),
+            F.array_sort(
+                F.collect_list(F.struct("offset", "positions"))
+            ).alias("items"),
+        )
+        .join(jmeta, "job_id")
+        .filter(F.col("__nt") == F.col("n_terms"))
+    )
+    first = F.col("items")[0]
+    rest = F.expr("slice(items, 2, size(items) - 1)")
+    phrase_ok = F.size(F.aggregate(
+        rest,
+        F.transform(
+            first["positions"], lambda x: x - first["offset"]
+        ),
+        lambda acc, it: F.array_intersect(
+            acc,
+            F.transform(it["positions"], lambda x: x - it["offset"]),
+        ),
+    )) > 0
+    prox_ok = F.size(F.aggregate(
+        rest,
+        first["positions"],
+        lambda acc, it: F.filter(
+            acc,
+            lambda a: F.exists(
+                it["positions"],
+                lambda x: F.abs(x - a) <= F.col("window"),
+            ),
+        ),
+    )) > 0
+    return grouped.filter(
+        F.when(F.col("window") < 0, phrase_ok).otherwise(prox_ok)
+    ).select("job_id", "docid")
 
 
 def proximity_docs(spark: SparkSession, store: IndexStore,

@@ -289,16 +289,35 @@ def search_structured(
         ).select("qid", "docid").distinct()
         scored = scored.join(bad, ["qid", "docid"], "left_anti")
 
-    for qid, terms, window in phrase_jobs:
-        from terrier_spark.query.positional import phrase_docs, proximity_docs
+    if phrase_jobs:
+        # all phrase/proximity constraints in ONE flat plan (plan depth
+        # constant in #jobs): batch_hits gives (job_id, docid) matches; a
+        # doc survives for qid iff it matches EVERY constraint of qid.
+        from terrier_spark.query.positional import batch_hits
 
-        if window is None:
-            hit = phrase_docs(spark, store, terms)
-        else:
-            hit = proximity_docs(spark, store, terms, window)
-        constrained = scored.filter(F.col("qid") == qid).join(
-            hit.select("docid"), "docid", "left_semi"
+        hits = batch_hits(
+            spark, store,
+            [(i, terms, window)
+             for i, (_, terms, window) in enumerate(phrase_jobs)],
         )
-        scored = constrained.unionByName(scored.filter(F.col("qid") != qid))
+        jq = pd.DataFrame(
+            [(i, qid) for i, (qid, _, _) in enumerate(phrase_jobs)],
+            columns=["job_id", "qid"],
+        )
+        nj = jq.groupby("qid")["job_id"].nunique().reset_index(name="n_jobs")
+        ok = (
+            hits.join(F.broadcast(spark.createDataFrame(jq)), "job_id")
+            .groupBy("qid", "docid")
+            .agg(F.count_distinct("job_id").alias("__nj"))
+            .join(F.broadcast(spark.createDataFrame(nj)), "qid")
+            .filter(F.col("__nj") == F.col("n_jobs"))
+            .select("qid", "docid")
+        )
+        phrase_qids = sorted({qid for qid, _, _ in phrase_jobs})
+        scored = (
+            scored.filter(F.col("qid").isin(phrase_qids))
+            .join(ok, ["qid", "docid"], "left_semi")
+            .unionByName(scored.filter(~F.col("qid").isin(phrase_qids)))
+        )
 
     return _topk(scored, qcfg.k).select("qid", "rank", "docid", "score")

@@ -173,6 +173,108 @@ def test_negative_term(spark, engine):
     assert got == pytest.approx(expected)
 
 
+def _kept_streams(spark):
+    """Recompute the fixture corpus's kept-term streams (positions index
+    the kept pipeline stream, BlockIndexer semantics) — an independent
+    positional oracle."""
+    from terrier_spark.text.pipeline import make_pipeline
+
+    contents = (
+        synth_source_corpus(spark, n_docs=250).toPandas()["content"].tolist()
+    )
+    pipe = make_pipeline(IndexConfig(positions=True).pipeline)
+    return [pipe.terms(c) for c in contents]
+
+
+def _phrase_match(stream, terms):
+    pos = {t: [i for i, s in enumerate(stream) if s == t] for t in set(terms)}
+    starts = set(pos[terms[0]])
+    for off, t in enumerate(terms[1:], start=1):
+        starts &= {p - off for p in pos[t]}
+        if not starts:
+            return False
+    return True
+
+
+def _prox_match(stream, terms, window):
+    pos = {t: [i for i, s in enumerate(stream) if s == t] for t in set(terms)}
+    anchors = list(pos[terms[0]])
+    for t in terms[1:]:
+        anchors = [
+            a for a in anchors if any(abs(p - a) <= window for p in pos[t])
+        ]
+        if not anchors:
+            return False
+    return True
+
+
+def test_batch_phrase_flat_plan(spark, engine):
+    """≥50 phrase/proximity queries in one batch run through ONE flat
+    plan (no per-query union chain), and every query's result set matches
+    an independent pure-Python positional oracle."""
+    store, oracle = engine
+    streams = _kept_streams(spark)
+    u = _usable(oracle, min_nt=3)
+    queries, expected = [], {}
+    for i in range(60):
+        t1, t2 = u[i % len(u)], u[(i * 7 + 3) % len(u)]
+        if t1 == t2:
+            t2 = u[(i * 7 + 4) % len(u)]
+        qid = f"q{i}"
+        if i % 2 == 0:
+            queries.append((qid, f'"{t1} {t2}"'))
+            expected[qid] = {
+                d for d, s in enumerate(streams) if _phrase_match(s, [t1, t2])
+            }
+        else:
+            queries.append((qid, f'"{t1} {t2}"~5'))
+            expected[qid] = {
+                d for d, s in enumerate(streams)
+                if _prox_match(s, [t1, t2], 5)
+            }
+    res = search_structured(spark, store, queries, QueryConfig(k=1000))
+    # flat plan: the old per-query loop produced one Union per phrase
+    # query; the batched path has exactly one Union total
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= 2, "per-query union chain is back"
+    got = res.toPandas()
+    by_qid = {
+        qid: set(g["docid"]) for qid, g in got.groupby("qid")
+    }
+    for qid, _ in queries:
+        assert by_qid.get(qid, set()) == expected[qid], qid
+
+
+def test_batch_hits_matches_single_job_paths(spark, engine):
+    """batch_hits agrees with the independent phrase_docs /
+    proximity_docs implementations, including >2-term jobs and duplicate
+    terms in a phrase."""
+    from terrier_spark.query.positional import (
+        batch_hits, phrase_docs, proximity_docs,
+    )
+
+    store, oracle = engine
+    u = _usable(oracle, min_nt=3)
+    jobs = [
+        (0, [u[0], u[1]], None),
+        (1, [u[2], u[3]], 4),
+        (2, [u[0], u[1], u[2]], None),
+        (3, [u[4], u[5], u[6]], 8),
+        (4, [u[0], u[0]], None),  # duplicate term in phrase
+    ]
+    hits = batch_hits(spark, store, jobs).toPandas()
+    by_job = {j: set(g["docid"]) for j, g in hits.groupby("job_id")}
+    for job_id, terms, window in jobs:
+        if window is None:
+            want = {r["docid"] for r in phrase_docs(spark, store, terms).collect()}
+        else:
+            want = {
+                r["docid"]
+                for r in proximity_docs(spark, store, terms, window).collect()
+            }
+        assert by_job.get(job_id, set()) == want, (job_id, terms, window)
+
+
 def test_phrase_constraint(spark, engine):
     store, oracle = engine
     # find an actual adjacent pair in some document's kept-term stream

@@ -103,7 +103,8 @@ def cmd_search(args) -> None:
         from terrier_spark.query.dependence import search_with_dependence
 
         res = search_with_dependence(spark, store, queries, qcfg,
-                                     dependency=args.dependence)
+                                     dependency=args.dependence,
+                                     variant=args.dependence_variant)
     else:
         res = search(spark, store, queries, qcfg, with_meta=True)
     if "docno" not in res.columns:
@@ -197,6 +198,8 @@ def main(argv=None) -> None:
     p.add_argument("--expand", action="store_true")
     p.add_argument("--structured", action="store_true")
     p.add_argument("--dependence", default=None, choices=["SD", "FD"])
+    p.add_argument("--dependence-variant", default="DFR",
+                   choices=["DFR", "MRF"])
     p.add_argument("--output-format", default="docno",
                    choices=["docno", "docid", "raw"])
     p.add_argument("--keep-low-idf", action="store_true")

@@ -1,8 +1,10 @@
-"""MRF dependence (term-proximity) scoring — SD and FD.
+"""MRF dependence (term-proximity) scoring — SD and FD, DFR and
+Dirichlet-LM (MRF) pair-score variants.
 
-Replicates the reference's DFR dependence score modifier
+Replicates the reference's dependence score modifiers
 (matching/dsms/DependenceScoreModifier.java:216-360,
-DFRDependenceScoreModifier.scoreFDSD :91-118):
+DFRDependenceScoreModifier.scoreFDSD :91-118,
+MRFDependenceScoreModifier.scoreFDSD :70-75):
 
   * SD (sequential dependence): for each ADJACENT query-term pair
     (i, i+1), matchingNGrams counts positions p1 of term i with
@@ -21,6 +23,22 @@ DFRDependenceScoreModifier.scoreFDSD :91-118):
       s     = [ -lgamma(bg+1) + lgamma(pfn+1) + lgamma(bg-pfn+1) ] / ln2
               - pfn*log2(p) - (bg-pfn)*log2(q)
       score = s / (1 + pfn)
+  * MRF variant (MRFDependenceScoreModifier.java:70-75, Metzler &
+    Croft SIGIR'05 via Ivory's constant-cf simplification :35-38):
+      score = w_o * ( log2(1 + m / (mu * defaultCf / numTokens))
+                      + log2(mu / (dl + mu)) )
+    with mu = mrf.mu = 4000, defaultCf = 2 * numDocs/100 (:86-87).
+    Unlike DFR (which returns 0 at m == 0,
+    DFRDependenceScoreModifier.java:91-92), MRF scores EVERY doc where
+    both pair terms occur — the m == 0 length penalty
+    log2(mu/(dl+mu)) applies (the parent calls scoreFDSD
+    unconditionally once okToUse holds for the pair, :330,:362).
+    Note the reference multiplies the internal w_o (:74, re-read in
+    setCollectionStatistics :83-84) AND the outer w_o/w_u (:332,:363)
+    — w_o^2 for SD with defaults; replicated faithfully.
+  * avgdl is the parent's ngram-adjusted value
+    (setCollectionStatistics :393-397):
+      avgDocLen = (numTokens - numDocs * (window - 1)) / numDocs
   * final doc score = w_t * base + sum over pairs of
     qtw_comb * (w_o for SD / w_u for FD) * score  (qtw fnid 1: mean of
     the two term weights); docs whose base score is <= 0 are left
@@ -71,6 +89,20 @@ def sd_pair_score(m: float, dl: float, avgdl: float,
         - (bg - pfn) * math.log2(q)
     )
     return s / (1.0 + pfn)
+
+
+def mrf_pair_score(m: float, dl: float, num_tokens: float,
+                   num_docs: float, mu: float = 4000.0,
+                   w_o: float = 1.0) -> float:
+    """MRFDependenceScoreModifier.scoreFDSD (:70-75): Dirichlet-LM pair
+    score with Ivory's constant collection tuple frequency
+    defaultCf = 2 * (numDocs / 100) (:86-87).  Valid for m >= 0 — the
+    m == 0 case contributes the pure length penalty log2(mu/(dl+mu))."""
+    default_cf = 2.0 * (num_docs / 100.0)
+    return w_o * (
+        math.log2(1.0 + m / (mu * (default_cf / num_tokens)))
+        + math.log2(mu / (dl + mu))
+    )
 
 
 def count_same_order(pa: np.ndarray, pb: np.ndarray, window: int,
@@ -134,13 +166,25 @@ def search_with_dependence(
     w_u: float = 1.0,
     ngram_c: float = 1.0,
     qtw_fnid: int = 1,
+    variant: str = "DFR",
+    mrf_mu: float = 4000.0,
 ) -> DataFrame:
     """Retrieval with the SD or FD proximity modifier
-    -> (qid, rank, docid, score)."""
+    -> (qid, rank, docid, score).
+
+    variant "DFR" = DFRDependenceScoreModifier (binomial randomness),
+    variant "MRF" = MRFDependenceScoreModifier (Dirichlet LM, mu =
+    mrf_mu; internal w_o applied per the reference)."""
     if dependency not in ("SD", "FD"):
         raise ValueError("dependency must be 'SD' or 'FD'")
+    if variant not in ("DFR", "MRF"):
+        raise ValueError("variant must be 'DFR' or 'MRF'")
     qcfg = qcfg or QueryConfig()
-    avgdl = store.stats["avg_doclen"]
+    num_docs = float(store.stats["num_docs"])
+    num_tokens = float(store.stats["num_tokens"])
+    # DependenceScoreModifier.setCollectionStatistics (:393-397):
+    # ngram-adjusted average document length
+    avgdl = (num_tokens - num_docs * (window - 1)) / num_docs
 
     qterms = process_queries(queries, store.pipeline_config())
     scored = search_terms(
@@ -214,21 +258,41 @@ def search_with_dependence(
             dtype="int64",
         )
 
-    matched = (
-        p1.join(p2, ["pair", "docid"])
-        .withColumn("m", pair_m("pa", "pb", "dl"))
-        .filter(F.col("m") > 0)
-        .select("qid", "pair", "docid", "qtw", "dl", "m")
+    matched = p1.join(p2, ["pair", "docid"]).withColumn(
+        "m", pair_m("pa", "pb", "dl")
     )
+    if variant == "DFR":
+        # DFR returns 0 at m == 0 (DFRDependenceScoreModifier.java:91-92)
+        # so dropping those rows is pure pruning; MRF must keep them (the
+        # length penalty applies whenever both terms are present).
+        matched = matched.filter(F.col("m") > 0)
+    matched = matched.select("qid", "pair", "docid", "qtw", "dl", "m")
 
-    @F.pandas_udf(DoubleType())
-    def pair_score(m: pd.Series, dl: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                sd_pair_score(float(mm), float(dd), avgdl, window, ngram_c)
-                for mm, dd in zip(m, dl)
-            ]
-        )
+    if variant == "DFR":
+        @F.pandas_udf(DoubleType())
+        def pair_score(m: pd.Series, dl: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    sd_pair_score(
+                        float(mm), float(dd), avgdl, window, ngram_c
+                    )
+                    for mm, dd in zip(m, dl)
+                ]
+            )
+    else:
+        mrf_w_o = w_o  # internal w_o (MRFDependenceScoreModifier:83-84)
+
+        @F.pandas_udf(DoubleType())
+        def pair_score(m: pd.Series, dl: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    mrf_pair_score(
+                        float(mm), float(dd), num_tokens, num_docs,
+                        mrf_mu, mrf_w_o,
+                    )
+                    for mm, dd in zip(m, dl)
+                ]
+            )
 
     prox = (
         matched.withColumn(

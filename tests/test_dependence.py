@@ -94,9 +94,15 @@ def oracle_sd(oracle, pdf, query, k, avgdl, window=2, w_t=1.0, w_o=1.0):
     return ranked[:k]
 
 
+def _adjusted_avgdl(store, window=2):
+    """DependenceScoreModifier.setCollectionStatistics (:393-397)."""
+    nd = float(store.stats["num_docs"])
+    return (float(store.stats["num_tokens"]) - nd * (window - 1)) / nd
+
+
 def test_sd_rank_identity(spark, engine):
     store, oracle, pdf = engine
-    avgdl = store.stats["avg_doclen"]
+    avgdl = _adjusted_avgdl(store)
     usable = sorted(
         t for t in oracle.postings
         if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
@@ -202,7 +208,6 @@ def test_fd_rank_identity(spark, engine):
     from terrier_spark.query.dependence import search_with_dependence
 
     store, oracle, pdf = engine
-    avgdl = store.stats["avg_doclen"]
     usable = sorted(
         t for t in oracle.postings
         if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
@@ -212,6 +217,7 @@ def test_fd_rank_identity(spark, engine):
         ("q2", f"{usable[1]} {usable[4]} {usable[7]} {usable[9]}"),
     ]
     for window in (2, 4):
+        avgdl = _adjusted_avgdl(store, window)
         got = (
             search_with_dependence(
                 spark, store, queries, QueryConfig(k=20),
@@ -277,3 +283,159 @@ def test_sd_changes_ranking_when_adjacent(spark, engine):
     assert any(sd[d] > plain[d] + 1e-9 for d in sd) or all(
         sd[d] == pytest.approx(plain[d]) for d in sd
     )
+
+
+def mrf_score_fdsd(m, dl, num_tokens, num_docs, mu, w_o):
+    """Literal port of MRFDependenceScoreModifier.scoreFDSD (:70-75)
+    with setCollectionStatistics' defaultCf = 2 * numDocs/100 (:86-87)."""
+    default_cf = 2.0 * (num_docs / 100.0)
+    return w_o * (
+        math.log2(1.0 + m / (mu * (default_cf / num_tokens)))
+        + math.log2(mu / (dl + mu))
+    )
+
+
+def test_mrf_pair_score_golden():
+    from terrier_spark.query.dependence import mrf_pair_score
+
+    for m, dl in ((0, 30), (1, 30), (5, 200), (2, 1)):
+        assert mrf_pair_score(m, dl, 1e6, 1e4, 4000.0, 1.0) == pytest.approx(
+            mrf_score_fdsd(m, dl, 1e6, 1e4, 4000.0, 1.0), rel=1e-12
+        )
+    # m == 0 is NOT zero for MRF: the pure Dirichlet length penalty
+    assert mrf_pair_score(0, 30, 1e6, 1e4) == pytest.approx(
+        math.log2(4000.0 / 4030.0)
+    )
+
+
+def oracle_mrf(oracle, pdf, query, k, num_tokens, num_docs, dependency,
+               window=2, w_t=1.0, w_o=1.0, w_u=1.0, mu=4000.0):
+    """MRF mirror of doDependency: pair scored whenever BOTH terms have
+    a posting on the doc (okToUse), even at m == 0 (:330,:362 call
+    scoreFDSD unconditionally); internal w_o * outer w_o/w_u."""
+    pipe = make_pipeline(IndexConfig().pipeline)
+    base = dict(oracle.search(query, QueryConfig(k=1 << 31)))
+    seen, counts = [], {}
+    for t in pipe.query_terms(query):
+        if t not in counts:
+            seen.append(t)
+        counts[t] = counts.get(t, 0) + 1
+    if dependency == "SD":
+        combos = list(zip(seen, seen[1:]))
+    else:
+        combos = [
+            (seen[i], seen[j])
+            for i in range(len(seen)) for j in range(i + 1, len(seen))
+        ]
+    pairs = [
+        (a, b, 0.5 * counts[a] + 0.5 * counts[b])
+        for a, b in combos if a != b
+    ]
+    counter = (
+        no_times_same_order if dependency == "SD" else no_times_unordered
+    )
+    pair_w = w_o if dependency == "SD" else w_u
+    doc_positions = {}
+    for docid, text in enumerate(pdf["content"]):
+        terms = pipe.terms(text or "")
+        pmap = {}
+        for i, t in enumerate(terms):
+            pmap.setdefault(t, []).append(i)
+        doc_positions[docid] = (pmap, len(terms))
+    out = {}
+    for docid, s in base.items():
+        score = w_t * s
+        if s > 0:
+            pmap, dl = doc_positions[docid]
+            for a, b, qtw in pairs:
+                if a in pmap and b in pmap:
+                    m = counter(pmap[a], pmap[b], window, dl)
+                    score += qtw * pair_w * mrf_score_fdsd(
+                        m, dl, num_tokens, num_docs, mu, w_o
+                    )
+        out[docid] = score
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def test_mrf_rank_identity(spark, engine):
+    from terrier_spark.query.dependence import search_with_dependence
+
+    store, oracle, pdf = engine
+    num_docs = float(store.stats["num_docs"])
+    num_tokens = float(store.stats["num_tokens"])
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    queries = [
+        ("q1", f"{usable[0]} {usable[3]} {usable[6]}"),
+        ("q2", f"{usable[1]} {usable[4]}"),
+    ]
+    for dependency in ("SD", "FD"):
+        got = (
+            search_with_dependence(
+                spark, store, queries, QueryConfig(k=20),
+                dependency=dependency, variant="MRF", w_o=0.8, w_u=0.9,
+            )
+            .orderBy("qid", "rank").toPandas()
+        )
+        by_qid = {qid: grp for qid, grp in got.groupby("qid")}
+        checked = 0
+        for qid, text in queries:
+            exp = oracle_mrf(
+                oracle, pdf, text, 20, num_tokens, num_docs, dependency,
+                w_o=0.8, w_u=0.9,
+            )
+            grp = by_qid.get(qid)
+            act = (
+                list(zip(grp["docid"], grp["score"]))
+                if grp is not None else []
+            )
+            assert len(act) == len(exp), f"{qid} {dependency}"
+            checked += bool(exp)
+            for (gd, gs), (ed, es) in zip(act, exp):
+                assert gd == ed, f"{qid} {dependency}: {gd} != {ed}"
+                assert gs == pytest.approx(es, abs=1e-6)
+        assert checked == 2
+
+
+def test_mrf_m0_penalty_changes_scores(spark, engine):
+    """MRF must differ from plain w_t-scaled BM25 on docs where both
+    pair terms occur but never within the window (the m == 0 length
+    penalty) — the behavior DFR deliberately lacks."""
+    store, oracle, pdf = engine
+    from terrier_spark.query.dependence import search_with_dependence
+    from terrier_spark.query.search import search
+
+    usable = sorted(
+        t for t in oracle.postings
+        if oracle.tf_collection(t) <= oracle.num_docs and oracle.nt(t) >= 5
+    )
+    q = f"{usable[0]} {usable[3]}"
+    plain = {
+        r["docid"]: r["score"]
+        for r in search(spark, store, [("q", q)],
+                        QueryConfig(k=1000)).collect()
+    }
+    mrf = {
+        r["docid"]: r["score"]
+        for r in search_with_dependence(
+            spark, store, [("q", q)], QueryConfig(k=1000), variant="MRF"
+        ).collect()
+    }
+    assert set(mrf) == set(plain)
+    pipe = make_pipeline(IndexConfig().pipeline)
+    t1, t2 = pipe.query_terms(q)[:2]
+    both_m0 = None
+    for docid, text in enumerate(pdf["content"]):
+        terms = pipe.terms(text or "")
+        pos = {t: [i for i, s in enumerate(terms) if s == t]
+               for t in (t1, t2)}
+        if (pos[t1] and pos[t2] and plain.get(docid, 0) > 0
+                and no_times_same_order(pos[t1], pos[t2], 2,
+                                        len(terms)) == 0):
+            both_m0 = docid
+            break
+    if both_m0 is not None:
+        assert mrf[both_m0] != pytest.approx(plain[both_m0])

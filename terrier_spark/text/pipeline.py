@@ -28,6 +28,11 @@ from terrier_spark.text.porter import (
     weak_porter_stem,
 )
 from terrier_spark.text.snowball import snowball_en_stem
+from terrier_spark.text.snowball_langs import (
+    snowball_de_stem,
+    snowball_es_stem,
+    snowball_fr_stem,
+)
 from terrier_spark.text.tokenizer import tokenize
 
 # The reference's reflective stemmer surface (terms/*Stemmer.java) as a
@@ -39,6 +44,15 @@ STEMMERS: dict[str, Callable[[str], str]] = {
     "trv2_weak_porter": trv2_weak_porter_stem,
     "snowball_en": functools.lru_cache(maxsize=1_000_000)(
         snowball_en_stem
+    ),
+    "snowball_de": functools.lru_cache(maxsize=1_000_000)(
+        snowball_de_stem
+    ),
+    "snowball_fr": functools.lru_cache(maxsize=1_000_000)(
+        snowball_fr_stem
+    ),
+    "snowball_es": functools.lru_cache(maxsize=1_000_000)(
+        snowball_es_stem
     ),
 }
 

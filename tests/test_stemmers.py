@@ -96,7 +96,7 @@ def test_snowball_differs_from_porter_where_expected():
 def test_registry_and_pipeline_wiring():
     assert set(STEMMERS) == {
         "porter", "weak_porter", "trv2_porter", "trv2_weak_porter",
-        "snowball_en",
+        "snowball_en", "snowball_de", "snowball_fr", "snowball_es",
     }
     assert resolve_stemmer(PipelineConfig(stem=False)) is None
     assert resolve_stemmer(PipelineConfig()) is porter_stem
@@ -146,3 +146,120 @@ def test_tokeniser_variants():
     assert tokenize("aaaab 12345x", utf) == []
     with pytest.raises(ValueError, match="unknown tokeniser"):
         tokenize("x", PipelineConfig(tokeniser="nope"))
+
+
+# ---- multilingual Snowball (German / French / Spanish), goldens
+# hand-traced against the published classic algorithms (the reference's
+# {German,French,Spanish}SnowballStemmer.java wrap the same published
+# tartarus programs)
+
+DE_GOLDENS = {
+    "kinder": "kind", "kindern": "kind",
+    "armes": "arm",                 # spec step-1 example
+    "äckern": "ack",                # spec step-1 example, umlaut removal
+    "bedürfnissen": "bedurfnis",    # spec niss rule
+    "derbsten": "derb",             # spec step-2 st-ending example
+    "hauses": "haus", "haus": "haus",
+    "maus": "maus",                 # u is not a valid s-ending
+    "gips": "gips",                 # p is not a valid s-ending
+    "abends": "abend",              # d IS a valid s-ending; end not in R2
+    "bauer": "bau",                 # u between vowels marked consonant
+    "bauen": "bau",
+    "verbindung": "verbind",
+    "aufregend": "aufreg",
+    "schönheit": "schonheit",       # heit not in R2 -> only umlaut drop
+    "freundlich": "freundlich",     # lich not in R2
+    "freundlichkeit": "freundlich",  # keit in R2; lich then NOT in R2
+    "elektrisch": "elektr",
+    "sprachen": "sprach",
+    "gelaufen": "gelauf",
+    "wunderbaren": "wunderbar",
+}
+
+FR_GOLDENS = {
+    "rapidement": "rapid",
+    "continuation": "continu",
+    "majestueux": "majestu",
+    "voiture": "voitur",
+    "chansons": "chanson",
+    "généreusement": "géner",       # ement + eus-in-R2 + step-6 unaccent
+    "finissons": "fin",             # step 2a iss-suffix
+    "mangeaient": "mang",           # marked aIent + preceding-e rule
+    "nationale": "national",
+    "nationaux": "national",        # aux -> al
+    "logiquement": "logiqu",        # qu marking preserved through unmark
+    "attentivement": "attent",      # ement + iv-in-R2
+    "donnera": "don",               # 2b er-suffix + step-5 undouble onn
+    "voyage": "voyag",              # y between vowels marked consonant
+    "employé": "emploi",            # step-3 final Y -> i
+}
+
+ES_GOLDENS = {
+    "comiendo": "com",
+    "caminando": "camin",
+    "felicidad": "felic",           # idad; ic then NOT in R2
+    "generosamente": "gener",       # amente + os-in-R2
+    "cantándoselo": "cant",         # step-0 pronoun + accent removal
+    "guerras": "guerr",
+    "lógica": "logic",              # ica not in R2; step-3 a + unaccent
+    "asociación": "asoci",
+    "niños": "niñ",                 # step-3 os; ñ kept (consonant)
+    "chicas": "chic",
+    "construyendo": "constru",      # step-2a y-suffix after u
+}
+
+
+def test_snowball_de_goldens():
+    from terrier_spark.text.snowball_langs import snowball_de_stem
+
+    for word, want in DE_GOLDENS.items():
+        assert snowball_de_stem(word) == want, word
+
+
+def test_snowball_fr_goldens():
+    from terrier_spark.text.snowball_langs import snowball_fr_stem
+
+    for word, want in FR_GOLDENS.items():
+        assert snowball_fr_stem(word) == want, word
+
+
+def test_snowball_es_goldens():
+    from terrier_spark.text.snowball_langs import snowball_es_stem
+
+    for word, want in ES_GOLDENS.items():
+        assert snowball_es_stem(word) == want, word
+
+
+def test_multilingual_registry_and_manifest(spark, tmp_path):
+    # all three resolve through the STEMMERS registry and round-trip
+    # through an index manifest like any other stemmer
+    for name in ("snowball_de", "snowball_fr", "snowball_es"):
+        fn = resolve_stemmer(PipelineConfig(stemmer=name))
+        assert callable(fn)
+    from terrier_spark.index.builder import build_index
+    from terrier_spark.index.corpus import synth_source_corpus
+    from terrier_spark.index.store import IndexStore
+
+    cfg = IndexConfig(pipeline=PipelineConfig(stemmer="snowball_de"))
+    corpus = synth_source_corpus(spark, n_docs=40)
+    build_index(spark, corpus, str(tmp_path / "de"), cfg, bucket_span=64)
+    assert IndexStore(
+        str(tmp_path / "de")
+    ).pipeline_config().stemmer == "snowball_de"
+
+
+def test_snowball_langs_idempotent_on_stems():
+    """Stemming an already-stemmed word must be stable for the goldens
+    (a practical sanity property the pipeline relies on when re-running
+    text through the same chain)."""
+    from terrier_spark.text.snowball_langs import (
+        snowball_de_stem,
+        snowball_es_stem,
+        snowball_fr_stem,
+    )
+
+    for fn, goldens in ((snowball_de_stem, DE_GOLDENS),
+                        (snowball_fr_stem, FR_GOLDENS),
+                        (snowball_es_stem, ES_GOLDENS)):
+        for stem in set(goldens.values()):
+            assert fn(fn(stem)) == fn(stem), (fn.__name__, stem)

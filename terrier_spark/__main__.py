@@ -183,7 +183,7 @@ def main(argv=None) -> None:
                    help="porter|weak_porter|trv2_porter|trv2_weak_porter|"
                         "snowball_en|none")
     p.add_argument("--tokeniser", default="english",
-                   choices=["english", "utf", "identity"])
+                   choices=["english", "utf", "utf_twitter", "identity"])
     p.add_argument("--fields", default=None,
                    help="comma list of field=column pairs, e.g. "
                         "path=path,content=content")

@@ -56,13 +56,50 @@ def check_term(s: str, cfg: PipelineConfig = _DEFAULT) -> str:
 
 
 # UTFTokeniser.java: token chars are the Unicode letter-or-digit classes
-# (Character.isLetterOrDigit) rather than ASCII [A-Za-z0-9]
-_UTF_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# (Character.isLetterOrDigit) PLUS combining marks (Character.getType in
+# {NON_SPACING_MARK, COMBINING_SPACING_MARK}), which Python's \w
+# excludes — build the Mn/Mc class once, lazily, from unicodedata.
+_UTF_TOKEN_RE = None
+# UTFTwitterTokeniser.java:85-100: same classes plus '/' and '@' so
+# mentions (@user) and URL paths survive as single tokens
+_UTF_TWITTER_RE = None
+
+
+def _mark_ranges() -> str:
+    import sys
+    import unicodedata
+
+    ranges, start, prev = [], None, None
+    for cp in range(sys.maxunicode + 1):
+        if unicodedata.category(chr(cp)) in ("Mn", "Mc"):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            ranges.append((start, prev))
+            start = None
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) if a == b
+        else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in ranges
+    )
+
+
+def _utf_res() -> tuple[re.Pattern, re.Pattern]:
+    global _UTF_TOKEN_RE, _UTF_TWITTER_RE
+    if _UTF_TOKEN_RE is None:
+        marks = _mark_ranges()
+        _UTF_TOKEN_RE = re.compile(r"(?:[^\W_]|[%s])+" % marks)
+        _UTF_TWITTER_RE = re.compile(r"(?:[^\W_]|[%s/@])+" % marks)
+    return _UTF_TOKEN_RE, _UTF_TWITTER_RE
 
 
 def tokenize(text: str, cfg: PipelineConfig = _DEFAULT) -> List[str]:
     """text -> list of valid (lowercased) terms, in document order.
-    Tokeniser variant per cfg.tokeniser: english / utf / identity."""
+    Tokeniser variant per cfg.tokeniser: english / utf / utf_twitter /
+    identity."""
     if not text:
         return []
     tokeniser = getattr(cfg, "tokeniser", "english")
@@ -70,13 +107,15 @@ def tokenize(text: str, cfg: PipelineConfig = _DEFAULT) -> List[str]:
         # IdentityTokeniser.java: the whole input is one token, unchecked
         return [text.lower() if cfg.lowercase else text]
     if tokeniser == "utf":
-        token_re = _UTF_TOKEN_RE
+        token_re = _utf_res()[0]
+    elif tokeniser == "utf_twitter":
+        token_re = _utf_res()[1]
     elif tokeniser == "english":
         token_re = _TOKEN_RE
     else:
         raise ValueError(
             f"unknown tokeniser {tokeniser!r}; available: english, utf, "
-            "identity"
+            "utf_twitter, identity"
         )
     out = []
     append = out.append

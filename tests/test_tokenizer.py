@@ -55,3 +55,37 @@ def test_check_term():
 def test_no_lowercase_config():
     cfg = PipelineConfig(lowercase=False)
     assert tokenize("MixedCase", cfg) == ["MixedCase"]
+
+
+def test_utf_twitter_tokeniser():
+    """UTFTwitterTokeniser.java: letters/digits + combining marks + '/'
+    and '@' are token chars; same validity check + lowercasing."""
+    from terrier_spark.config import PipelineConfig
+    from terrier_spark.text.tokenizer import tokenize
+
+    tw = PipelineConfig(tokeniser="utf_twitter")
+    # mentions survive; URL paths keep '/' but '.' still splits
+    assert tokenize("RT @UserOne: see http://t.co/abc now", tw) == [
+        "rt", "@userone", "see", "http", "//t", "co/abc", "now"
+    ]
+    # underscore is NOT a token char in Java isLetterOrDigit -> splits
+    assert tokenize("@user_name", tw) == ["@user", "name"]
+    # hashtags: '#' is not a token char (the reference keeps only / and @)
+    assert tokenize("#Breaking news", tw) == ["breaking", "news"]
+    # validity rules still apply (long tokens dropped, digit cap)
+    assert tokenize("@" + "a" * 30 + " 12345", tw) == []
+    # UTF letters kept
+    assert tokenize("café @münchen", tw) == ["café", "@münchen"]
+
+
+def test_utf_tokeniser_combining_marks():
+    """Decomposed accents (base letter + Mn mark) stay inside the token,
+    matching Character.getType == NON_SPACING_MARK in UTFTokeniser."""
+    from terrier_spark.config import PipelineConfig
+    from terrier_spark.text.tokenizer import tokenize
+
+    utf = PipelineConfig(tokeniser="utf")
+    decomposed = "café"          # e + combining acute
+    assert tokenize(decomposed, utf) == [decomposed.lower()]
+    tw = PipelineConfig(tokeniser="utf_twitter")
+    assert tokenize("@" + decomposed, tw) == ["@" + decomposed]

@@ -69,6 +69,45 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], cap: int,
     return buckets.join(ok, keys, "left_semi")
 
 
+def _truncate_buckets(buckets: DataFrame, keys: list[str], cap: int,
+                      stats_out: dict | None, what: str,
+                      order_col: str = "id") -> DataFrame:
+    """Keep only the `cap` lowest-`order_col` members of each bucket
+    group (deterministic subset).  The search-path sibling of
+    _cap_buckets: a pair-generation job can DROP a degenerate bucket
+    loudly, but an ANN query probing that bucket still needs candidates,
+    so the hot bucket is truncated rather than removed.  Counters
+    recorded under stats_out[what] mirror _cap_buckets."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    ranked = buckets.withColumn("__br", F.row_number().over(w))
+    if stats_out is not None:
+        row = (
+            ranked.groupBy(*keys).agg(F.max("__br").alias("__bn"))
+            .filter(F.col("__bn") > cap)
+            .agg(
+                F.count("*").alias("truncated_buckets"),
+                F.coalesce(F.sum("__bn") - F.count("*") * cap,
+                           F.lit(0)).alias("dropped_rows"),
+                F.coalesce(F.max("__bn"), F.lit(0)).alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        stats_out[what] = {
+            "truncated_buckets": int(row["truncated_buckets"]),
+            "dropped_rows": int(row["dropped_rows"]),
+            "max_bucket": int(row["max_bucket"]),
+            "cap": cap,
+        }
+        if row["truncated_buckets"]:
+            log.warning(
+                "%s: truncated %d bucket(s) to cap=%d (largest had %d "
+                "members; %d candidate rows dropped)", what,
+                row["truncated_buckets"], cap, row["max_bucket"],
+                row["dropped_rows"],
+            )
+    return ranked.filter(F.col("__br") <= cap).drop("__br")
+
+
 def _md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 

@@ -239,16 +239,30 @@ def ivf_cosine_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: vectors are bucketed by nearest
     centroid (the inverted file); each query probes its `nprobe` nearest
     centroids' buckets and exact-scores only those candidates.
     -> (query_id, vec_id, cosine).  The standard ANN scale path: the
     candidate set shrinks by ~n_centroids/nprobe versus brute force, and
-    the bucket join shuffles candidates only."""
+    the bucket join shuffles candidates only.
+
+    max_bucket_size guards against a mass-duplicated corpus collapsing
+    into one centroid's inverted list (the same skew guard the LSH dedup
+    paths carry): hot buckets are TRUNCATED to the cap lowest ids — not
+    dropped, a probing query still needs candidates — with the dropped
+    counts recorded in stats_out['ivf_buckets']."""
     import numpy as np
 
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    if max_bucket_size is not None:
+        from terrier_spark.datapipe.dedup import _truncate_buckets
+
+        assigned = _truncate_buckets(assigned, ["centroid"],
+                                     max_bucket_size, stats_out,
+                                     "ivf_buckets")
     qvecs = {
         int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
         for r in emb.filter(F.col(id_col).isin(list(query_ids)))
@@ -307,11 +321,15 @@ def lsh_cosine_topk(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = vectors sharing at least
     one LSH band with the query, then exact cosine on candidates.
     -> (query_id, vec_id, cosine).  Recall grows with bands/planes;
-    tests measure it against cosine_topk."""
+    tests measure it against cosine_topk.  max_bucket_size truncates
+    degenerate band buckets to the cap lowest ids (see ivf_cosine_topk;
+    the query side is taken BEFORE truncation so queries always probe)."""
     sigs = lsh_signatures(emb, dim, n_planes, seed, id_col, vec_col)
     width = n_planes // bands
     banded = sigs.select(
@@ -324,6 +342,11 @@ def lsh_cosine_topk(
     qb = banded.filter(F.col("id").isin(list(query_ids))).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "band_key"
     )
+    if max_bucket_size is not None:
+        from terrier_spark.datapipe.dedup import _truncate_buckets
+
+        banded = _truncate_buckets(banded, ["band_key"], max_bucket_size,
+                                   stats_out, "lsh_topk_buckets")
     cands = (
         banded.join(F.broadcast(qb), "band_key")
         .filter(F.col("id") != F.col("query_id"))

@@ -146,6 +146,52 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
     return run
 
 
+def _decode_agg_udf(model: str, N: int, avgdl: float, T: int,
+                    field_params=None, k: Optional[int] = None,
+                    theta_map: Optional[dict] = None):
+    """mapInPandas kernel producing FINAL per-(qid, docid) scores for its
+    partition.  Requires the input to be hash-partitioned by (qid,
+    bucket): the bucket invariant (bucket labels partition docids
+    identically across every term) then guarantees each (qid, docid)
+    lands in exactly one partition, so the partition-local sum is the
+    complete document score and no post-decode exchange of posting rows
+    is needed — the WAND fork's accumulator stage collapsed into the
+    decode task.  On top of the final scores the kernel applies
+    (a) the pass-1 theta lower bound per qid (rows that cannot reach the
+    top-k are dropped at the source) and (b) a per-partition top-k cut,
+    so the only exchange after decode is <= k rows per (partition, qid)
+    feeding the global top-k window."""
+    inner = _decode_score_udf(model, N, avgdl, T, field_params)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [
+            pdf.groupby(["qid", "docid"], as_index=False, sort=False)[
+                "score"
+            ].sum()
+            for pdf in inner(batches)
+        ]
+        if not parts:
+            return
+        final = parts[0] if len(parts) == 1 else (
+            pd.concat(parts).groupby(
+                ["qid", "docid"], as_index=False, sort=False
+            )["score"].sum()
+        )
+        if theta_map:
+            th = final["qid"].map(theta_map)
+            # NaN (qid without a theta) compares False -> kept
+            final = final[~(final["score"] < th)]
+        if k is not None and len(final) > k:
+            final = final.sort_values(
+                ["qid", "score", "docid"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            final = final.groupby("qid", sort=False).head(k)
+        yield final
+
+    return run
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("docid").asc()
@@ -236,32 +282,36 @@ def search_terms(
     can_field_prune = (
         spec.field_bound is not None and "max_ftf_f" in blocks.columns
     )
+    theta_map = None
     if (
         qcfg.prune
         and (spec.prunable or can_field_prune)
         and total_postings >= qcfg.prune_min_postings
     ):
         n_queries = qstats["qid"].nunique()
-        joined = _prune_buckets(
+        joined, theta_map = _prune_buckets(
             spark, joined, qcfg, N, avgdl, T_eff,
             eager=n_queries >= qcfg.prune_eager_min_queries,
             spec=spec, field_params=field_params,
         )
-    # a small postings scan (few parquet files) can collapse to 1-2 input
-    # partitions, serializing the decode; spread the joined block rows
-    # when the scan gives less parallelism than the session default
-    # (checked on the raw scan, cached per store — probing the joined
-    # plan would force the broadcast exchange eagerly)
-    selected = joined.select(*sel_cols)
+    # co-locate every term's blocks for the same (qid, bucket): the
+    # bucket invariant then makes the decode kernel's partition-local
+    # sums FINAL document scores, so the heavy (qid, docid, score)
+    # posting exchange disappears — only <= k rows per (partition, qid)
+    # reach the top-k window.  (This repartition exchanges compressed
+    # BLOCK rows, which are orders of magnitude smaller, and also fixes
+    # the few-scan-partitions serialization a small postings dataset
+    # would otherwise impose.)
     default_par = spark.sparkContext.defaultParallelism
-    if store.postings_scan_partitions(spark) < max(default_par // 2, 2):
-        selected = selected.repartition(default_par)
+    selected = joined.select(*sel_cols, "bucket").repartition(
+        default_par, "qid", "bucket"
+    )
     decoded = selected.mapInPandas(
-        _decode_score_udf(qcfg.model, N, avgdl, T_eff, field_params),
+        _decode_agg_udf(qcfg.model, N, avgdl, T_eff, field_params,
+                        k=qcfg.k, theta_map=theta_map),
         schema="qid string, docid long, score double",
     )
-    scored = decoded.groupBy("qid", "docid").agg(F.sum("score").alias("score"))
-    out = _topk(scored, qcfg.k).select("qid", "rank", "docid", "score")
+    out = _topk(decoded, qcfg.k).select("qid", "rank", "docid", "score")
     if with_meta:
         meta = store.meta(spark).select("docid", "docno", "sha256")
         out = out.join(meta, "docid").select(
@@ -273,7 +323,7 @@ def search_terms(
 def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                    N: int, avgdl: float, T: int,
                    eager: bool = True, spec=None,
-                   field_params=None) -> DataFrame:
+                   field_params=None) -> Tuple[DataFrame, Optional[dict]]:
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -386,18 +436,29 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                 F.col("theta").isNull()
                 | (F.col("bucket_ub") >= F.col("theta"))
             )
-            .select("qid", "bucket")
+            .select("qid", "bucket", "theta")
         )
+        theta_map = None
         if eager:
             # materialize the surviving (qid, bucket) pairs NOW: they
             # would be broadcast (= collected to the driver) anyway, and
             # doing it eagerly lets the cached bucket_ub be released
             # deterministically instead of leaking across queries in a
-            # long-lived session
+            # long-lived session.  theta rides along for free: the
+            # decode kernel uses it to drop documents that cannot reach
+            # the top-k before the final exchange.
+            spdf = survivors.toPandas()
+            theta_map = {
+                q: float(t)
+                for q, t in zip(spdf["qid"], spdf["theta"])
+                if t is not None and np.isfinite(t)
+            }
             survivors = spark.createDataFrame(
-                survivors.toPandas(), schema="qid string, bucket long"
+                spdf[["qid", "bucket"]], schema="qid string, bucket long"
             )
+        else:
+            survivors = survivors.select("qid", "bucket")
     finally:
         if eager:
             bucket_ub.unpersist()
-    return joined.join(F.broadcast(survivors), ["qid", "bucket"])
+    return joined.join(F.broadcast(survivors), ["qid", "bucket"]), theta_map

@@ -33,6 +33,23 @@ from terrier_spark.text.snowball_langs import (
     snowball_es_stem,
     snowball_fr_stem,
 )
+from terrier_spark.text.snowball_nordic import (
+    snowball_da_stem,
+    snowball_no_stem,
+    snowball_sv_stem,
+)
+from terrier_spark.text.snowball_eastern import (
+    snowball_ro_stem,
+    snowball_ru_stem,
+)
+from terrier_spark.text.snowball_finnish import snowball_fi_stem
+from terrier_spark.text.snowball_hungarian import snowball_hu_stem
+from terrier_spark.text.snowball_turkish import snowball_tr_stem
+from terrier_spark.text.snowball_western import (
+    snowball_it_stem,
+    snowball_nl_stem,
+    snowball_pt_stem,
+)
 from terrier_spark.text.tokenizer import tokenize
 
 # The reference's reflective stemmer surface (terms/*Stemmer.java) as a
@@ -53,6 +70,39 @@ STEMMERS: dict[str, Callable[[str], str]] = {
     ),
     "snowball_es": functools.lru_cache(maxsize=1_000_000)(
         snowball_es_stem
+    ),
+    "snowball_da": functools.lru_cache(maxsize=1_000_000)(
+        snowball_da_stem
+    ),
+    "snowball_no": functools.lru_cache(maxsize=1_000_000)(
+        snowball_no_stem
+    ),
+    "snowball_sv": functools.lru_cache(maxsize=1_000_000)(
+        snowball_sv_stem
+    ),
+    "snowball_nl": functools.lru_cache(maxsize=1_000_000)(
+        snowball_nl_stem
+    ),
+    "snowball_it": functools.lru_cache(maxsize=1_000_000)(
+        snowball_it_stem
+    ),
+    "snowball_pt": functools.lru_cache(maxsize=1_000_000)(
+        snowball_pt_stem
+    ),
+    "snowball_ru": functools.lru_cache(maxsize=1_000_000)(
+        snowball_ru_stem
+    ),
+    "snowball_ro": functools.lru_cache(maxsize=1_000_000)(
+        snowball_ro_stem
+    ),
+    "snowball_fi": functools.lru_cache(maxsize=1_000_000)(
+        snowball_fi_stem
+    ),
+    "snowball_hu": functools.lru_cache(maxsize=1_000_000)(
+        snowball_hu_stem
+    ),
+    "snowball_tr": functools.lru_cache(maxsize=1_000_000)(
+        snowball_tr_stem
     ),
 }
 

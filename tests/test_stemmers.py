@@ -94,9 +94,14 @@ def test_snowball_differs_from_porter_where_expected():
 
 
 def test_registry_and_pipeline_wiring():
+    # the reference's full stemmer surface: 4 Porter variants + all 15
+    # Snowball languages (org/terrier/terms/*SnowballStemmer.java)
     assert set(STEMMERS) == {
         "porter", "weak_porter", "trv2_porter", "trv2_weak_porter",
         "snowball_en", "snowball_de", "snowball_fr", "snowball_es",
+        "snowball_da", "snowball_no", "snowball_sv", "snowball_nl",
+        "snowball_it", "snowball_pt", "snowball_ru", "snowball_ro",
+        "snowball_fi", "snowball_hu", "snowball_tr",
     }
     assert resolve_stemmer(PipelineConfig(stem=False)) is None
     assert resolve_stemmer(PipelineConfig()) is porter_stem

@@ -1,0 +1,64 @@
+"""Russian / Romanian Snowball stemmers — goldens hand-traced against
+the published algorithm descriptions (classic revisions).
+Reference surface: org/terrier/terms/{Russian,Romanian}
+SnowballStemmer.java (thin wrappers over the public Snowball programs).
+"""
+
+from terrier_spark.config import PipelineConfig
+from terrier_spark.text.pipeline import STEMMERS, resolve_stemmer
+from terrier_spark.text.snowball_eastern import (
+    snowball_ro_stem,
+    snowball_ru_stem,
+)
+
+RU_GOLDENS = {
+    "книгами": "книг",         # noun ами
+    "красивый": "красив",      # adjective ый
+    "возможностей": "возможн",  # noun ей + derivational ост
+    "странный": "стра",        # adjective ый, then participle нн after а
+    "осенний": "осен",         # adjective ий; нн NOT after а/я -> step4
+    "бегавшая": "бега",        # spec's own adjectival example: ая + вш
+    "читается": "чита",        # reflexive ся + verb ет after а
+    "ёлка": "елк",             # ё->е, noun а
+    "стол": "стол",            # nothing applies
+}
+
+RO_GOLDENS = {
+    "lucrurile": "lucrur",     # step0 ile->i, step4 final i
+    "frumoasă": "frumoas",     # oasă not in R2; step4 final ă
+    "durabilitate": "durabil",  # step1 abilitate->abil
+    "cântând": "cânt",         # verb ând after consonant
+    "iubire": "iubir",         # verb ire blocked (b outside RV), step4 e
+    "politică": "polit",       # step2 ică in R2
+    "brad": "brad",
+}
+
+
+def test_snowball_ru_goldens():
+    for word, want in RU_GOLDENS.items():
+        assert snowball_ru_stem(word) == want, word
+
+
+def test_snowball_ro_goldens():
+    for word, want in RO_GOLDENS.items():
+        assert snowball_ro_stem(word) == want, word
+
+
+def test_eastern_registry_wiring():
+    for name in ("snowball_ru", "snowball_ro"):
+        assert name in STEMMERS
+        fn = resolve_stemmer(PipelineConfig(stemmer=name))
+        assert callable(fn)
+
+
+def test_eastern_short_words_untouched():
+    for fn in (snowball_ru_stem, snowball_ro_stem):
+        for w in ("a", ""):
+            assert fn(w) == w, (fn.__name__, w)
+
+
+def test_eastern_idempotent_on_goldens():
+    for fn, goldens in ((snowball_ru_stem, RU_GOLDENS),
+                        (snowball_ro_stem, RO_GOLDENS)):
+        for stem in set(goldens.values()):
+            assert fn(fn(stem)) == fn(stem), (fn.__name__, stem)

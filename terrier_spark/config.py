@@ -53,11 +53,24 @@ class PipelineConfig:
     # UTFTokeniser.java), "identity" (whole input as one token,
     # IdentityTokeniser.java).
     tokeniser: str = "english"
+    # Explicit term-pipeline chain, the reference's `termpipelines`
+    # property (structures/indexing/Indexer.java:275-308): an ordered
+    # tuple of stage names replacing the default Stopwords->Stemmer
+    # chain.  Accepts reference class names or registry short names:
+    # "Stopwords", any STEMMERS key or *Stemmer class name, "NoOp"
+    # (terms/NoOpTermPipeline? -- identity), "CropTerm"
+    # (terms/CropTerm.java: crop overlong terms to max_term_length
+    # instead of dropping them), "DumpTerm" (terms/DumpTerm.java: log
+    # and pass through), and "SkipTermPipeline:w1,w2" (terms/
+    # SkipTermPipeline.java: the listed terms bypass the rest of the
+    # chain unchanged).  None -> the stopwords/stem knobs above.
+    stages: Optional[tuple] = None
 
     def key(self) -> tuple:
         sw = tuple(sorted(self.stopwords)) if self.stopwords else ()
         return (self.max_term_length, self.max_digits, self.max_conseq,
-                self.lowercase, sw, self.stem, self.stemmer, self.tokeniser)
+                self.lowercase, sw, self.stem, self.stemmer, self.tokeniser,
+                tuple(self.stages) if self.stages else None)
 
 
 # A pipeline that can be mirrored exactly in ANSI SQL (DuckDB oracle): the
@@ -135,6 +148,15 @@ class QueryConfig:
     # single-query latency while being a win amortized over a 900-query
     # batch (where the persisted bucket-bound frame is reused).
     prune_eager_min_queries: int = 64
+    # Up to this many queries per batch, the decode kernel aggregates
+    # scores itself (partition-local sums are final under the
+    # (qid, bucket) co-partitioning) and applies the theta bound plus a
+    # per-partition top-k cut — one exchange fewer, which wins on
+    # interactive latency.  Above it, the kernel emits per-posting
+    # scores and Spark's whole-stage-codegen hash aggregation owns the
+    # accumulation: at batch scale the JVM agg with map-side partials
+    # beats a pandas groupby over string-keyed rows by ~3x.
+    agg_in_decode_max_queries: int = 32
     # Per-field weights / NormalisationB c parameters for BM25F, aligned
     # with the index's field order; None -> all 1.0 (the reference's
     # w.<fi> / c.<fi> property defaults,

@@ -294,24 +294,45 @@ def search_terms(
             eager=n_queries >= qcfg.prune_eager_min_queries,
             spec=spec, field_params=field_params,
         )
-    # co-locate every term's blocks for the same (qid, bucket): the
-    # bucket invariant then makes the decode kernel's partition-local
-    # sums FINAL document scores, so the heavy (qid, docid, score)
-    # posting exchange disappears — only <= k rows per (partition, qid)
-    # reach the top-k window.  (This repartition exchanges compressed
-    # BLOCK rows, which are orders of magnitude smaller, and also fixes
-    # the few-scan-partitions serialization a small postings dataset
-    # would otherwise impose.)
     default_par = spark.sparkContext.defaultParallelism
-    selected = joined.select(*sel_cols, "bucket").repartition(
-        default_par, "qid", "bucket"
-    )
-    decoded = selected.mapInPandas(
-        _decode_agg_udf(qcfg.model, N, avgdl, T_eff, field_params,
-                        k=qcfg.k, theta_map=theta_map),
-        schema="qid string, docid long, score double",
-    )
-    out = _topk(decoded, qcfg.k).select("qid", "rank", "docid", "score")
+    n_queries = int(qstats["qid"].nunique())
+    if n_queries <= qcfg.agg_in_decode_max_queries:
+        # LATENCY PATH (small batches): co-locate every term's blocks
+        # for the same (qid, bucket) — the bucket invariant then makes
+        # the decode kernel's partition-local sums FINAL document
+        # scores, so the (qid, docid, score) posting exchange
+        # disappears; the kernel also applies the pass-1 theta bound
+        # and a per-partition top-k cut, leaving <= k rows per
+        # (partition, qid) for the global top-k window.  The
+        # repartition exchanges compressed BLOCK rows (orders of
+        # magnitude smaller) and fixes the few-scan-partitions
+        # serialization a small postings dataset would impose.
+        selected = joined.select(*sel_cols, "bucket").repartition(
+            default_par, "qid", "bucket"
+        )
+        decoded = selected.mapInPandas(
+            _decode_agg_udf(qcfg.model, N, avgdl, T_eff, field_params,
+                            k=qcfg.k, theta_map=theta_map),
+            schema="qid string, docid long, score double",
+        )
+        scored = decoded
+    else:
+        # BATCH PATH (many queries): emit per-posting scores from the
+        # decode kernel and let Spark's whole-stage-codegen hash
+        # aggregation do the accumulation — at batch scale the JVM agg
+        # beats a pandas groupby over millions of string-keyed rows,
+        # and the map-side partial aggregation halves the exchange.
+        selected = joined.select(*sel_cols)
+        if store.postings_scan_partitions(spark) < max(default_par // 2, 2):
+            selected = selected.repartition(default_par)
+        decoded = selected.mapInPandas(
+            _decode_score_udf(qcfg.model, N, avgdl, T_eff, field_params),
+            schema="qid string, docid long, score double",
+        )
+        scored = decoded.groupBy("qid", "docid").agg(
+            F.sum("score").alias("score")
+        )
+    out = _topk(scored, qcfg.k).select("qid", "rank", "docid", "score")
     if with_meta:
         meta = store.meta(spark).select("docid", "docno", "sha256")
         out = out.join(meta, "docid").select(

@@ -144,4 +144,6 @@ class IndexStore:
 
         p = dict(self.manifest["pipeline"])
         p["stopwords"] = tuple(p.get("stopwords") or ())
+        if p.get("stages"):
+            p["stages"] = tuple(p["stages"])
         return PipelineConfig(**p)

@@ -17,7 +17,9 @@ in tests/test_pipeline.py pin the semantics independently.
 from __future__ import annotations
 
 import functools
+import logging
 
+from dataclasses import replace
 from typing import Callable, List, Optional
 
 from terrier_spark.config import PipelineConfig
@@ -122,6 +124,64 @@ def resolve_stemmer(cfg: PipelineConfig) -> Optional[Callable[[str], str]]:
         ) from None
 
 
+# reference terms/*.java class names -> STEMMERS registry keys
+_REFERENCE_STAGE_NAMES = {
+    "PorterStemmer": "porter",
+    "WeakPorterStemmer": "weak_porter",
+    "TRv2PorterStemmer": "trv2_porter",
+    "TRv2WeakPorterStemmer": "trv2_weak_porter",
+    "EnglishSnowballStemmer": "snowball_en",
+    "DanishSnowballStemmer": "snowball_da",
+    "DutchSnowballStemmer": "snowball_nl",
+    "FinnishSnowballStemmer": "snowball_fi",
+    "FrenchSnowballStemmer": "snowball_fr",
+    "GermanSnowballStemmer": "snowball_de",
+    "HungarianSnowballStemmer": "snowball_hu",
+    "ItalianSnowballStemmer": "snowball_it",
+    "NorwegianSnowballStemmer": "snowball_no",
+    "PortugueseSnowballStemmer": "snowball_pt",
+    "RomanianSnowballStemmer": "snowball_ro",
+    "RussianSnowballStemmer": "snowball_ru",
+    "SpanishSnowballStemmer": "snowball_es",
+    "SwedishSnowballStemmer": "snowball_sv",
+    "TurkishSnowballStemmer": "snowball_tr",
+}
+
+_STAGE_LOG = logging.getLogger("terrier_spark.pipeline.dump")
+
+
+def _resolve_stage(name: str, cfg: PipelineConfig):
+    """One named stage -> callable term -> term|None (None = dropped).
+    'skip' marks terms that bypass the rest of the chain (the
+    reference's SkipTermPipeline.java semantics)."""
+    base, _, arg = name.partition(":")
+    key = _REFERENCE_STAGE_NAMES.get(base, base.lower())
+    if key in ("stopwords",):
+        stop = frozenset(cfg.stopwords) if cfg.stopwords else frozenset()
+        return ("map", lambda t: None if t in stop else t)
+    if key in STEMMERS:
+        fn = STEMMERS[key]
+        return ("map", fn)
+    if key == "noop":
+        return ("map", lambda t: t)
+    if key == "cropterm":
+        n = cfg.max_term_length
+        return ("map", lambda t: t[:n])
+    if key in ("dumpterm", "dump"):
+        def dump(t: str) -> str:
+            _STAGE_LOG.info("term %r", t)
+            return t
+        return ("map", dump)
+    if key in ("skiptermpipeline", "skip"):
+        skip = frozenset(x for x in arg.split(",") if x)
+        return ("skip", skip)
+    raise ValueError(
+        f"unknown pipeline stage {name!r}; stages: Stopwords, NoOp, "
+        f"CropTerm, DumpTerm, SkipTermPipeline:w1,w2, or a stemmer from "
+        f"{sorted(STEMMERS)}"
+    )
+
+
 class TermPipeline:
     """Callable: raw text -> list of processed terms (document order kept,
     dropped terms removed — positions are indexes into the KEPT stream,
@@ -131,8 +191,40 @@ class TermPipeline:
         self.cfg = cfg
         self.stop = frozenset(cfg.stopwords) if cfg.stopwords else frozenset()
         self.stem_fn = resolve_stemmer(cfg)
+        self.stages = None
+        self.crop_overlong = False
+        if cfg.stages is not None:
+            self.stages = [_resolve_stage(s, cfg) for s in cfg.stages]
+            # CropTerm exists to KEEP overlong terms (truncated), so the
+            # tokeniser's drop-if-too-long rule is lifted for the chain
+            self.crop_overlong = any(
+                s.partition(":")[0].lower() == "cropterm"
+                for s in cfg.stages
+            )
+
+    def _run_stages(self, toks: List[str]) -> List[str]:
+        out = []
+        for t in toks:
+            cur: Optional[str] = t
+            for kind, payload in self.stages:
+                if kind == "skip":
+                    if cur in payload:
+                        break  # emitted as-is, rest of chain skipped
+                else:
+                    cur = payload(cur)
+                    if cur is None or cur == "":
+                        cur = None
+                        break
+            if cur is not None:
+                out.append(cur)
+        return out
 
     def terms(self, text: str) -> List[str]:
+        if self.stages is not None:
+            cfg = self.cfg
+            if self.crop_overlong:
+                cfg = replace(cfg, max_term_length=1 << 30)
+            return self._run_stages(tokenize(text, cfg))
         toks = tokenize(text, self.cfg)
         stop = self.stop
         if stop:

@@ -260,6 +260,73 @@ def from_xml_files(spark: SparkSession, path: str, doc_tag: str = "doc",
     )
 
 
+# extensions the reference's SimpleFileCollection routes to binary
+# parsers (PDFDocument / MS*Document, indexing/SimpleFileCollection.java)
+_BINARY_EXTS = ("pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx")
+
+
+def from_directory(spark: SparkSession, path: str,
+                   glob: str = "*",
+                   recursive: bool = True,
+                   binary_parsers: dict | None = None) -> DataFrame:
+    """SimpleFileCollection (org/terrier/indexing/SimpleFileCollection.java):
+    crawl a directory and make one document per file, choosing the
+    parser by extension — FileDocument for plain text,
+    TaggedDocument-style tag stripping for HTML/XHTML, and the binary
+    Office/PDF parsers.  docno = file path.
+
+    Spark-first: one `binaryFile` scan (distributed, pruned by
+    pathGlobFilter) and an Arrow-batched decode kernel.  The binary
+    parsers (PDF/Word/Excel/PowerPoint) need external libraries the
+    reference gets from POI/PDFBox; pass `binary_parsers` as
+    {extension: callable(bytes) -> str} to enable them — without an
+    entry, files with those extensions raise NotImplementedError
+    naming the missing parser (this environment ships none)."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    df = reader.load(path)
+    parsers = binary_parsers or {}
+    parser_exts = tuple(parsers)
+
+    def parse(batches):
+        import re
+
+        import pandas as pd
+
+        tag_re = re.compile(r"<[^>]+>")
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                ext = fpath.rsplit(".", 1)[-1].lower() if "." in fpath \
+                    else ""
+                if ext in parser_exts:
+                    text = parsers[ext](bytes(blob))
+                elif ext in _BINARY_EXTS:
+                    raise NotImplementedError(
+                        f"no parser for .{ext} files ({fpath}): the "
+                        "reference uses POI/PDFBox, which are not in "
+                        "this environment — pass binary_parsers={"
+                        f"{ext!r}: callable}} to from_directory"
+                    )
+                else:
+                    text = bytes(blob).decode("utf-8", errors="replace")
+                    if ext in ("html", "htm", "xhtml", "xml", "sgml"):
+                        text = tag_re.sub(" ", text)
+                rel = fpath.split("://", 1)[-1]
+                rows.append((rel, "", rel, "HEAD", ext, text))
+            if rows:
+                yield pd.DataFrame(rows, columns=list(CORPUS_COLUMNS))
+
+    return df.select("path", "content").mapInPandas(
+        parse,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )
+
+
 _EXTS = {"py": "python", "java": "java", "c": "c", "md": "markdown"}
 _HOT = ["for", "int", "return", "class", "if", "else", "while", "void", "def"]
 

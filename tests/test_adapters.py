@@ -160,3 +160,48 @@ def test_adapter_corpus_indexes_end_to_end(spark, tmp_path):
     assert len(res) == 1
     meta = {r["docno"] for r in store.meta(spark).collect()}
     assert meta == {"WSJ870324-0001", "WSJ870324-0002"}
+
+
+def test_directory_adapter(spark, tmp_path):
+    from terrier_spark.index.corpus import from_directory
+
+    d = tmp_path / "crawl"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("plain alpha words")
+    (d / "b.html").write_text("<html><body>tagged <b>beta</b> words</body>")
+    (d / "sub" / "c.py").write_text("def gamma(): pass")
+    rows = {r["docno"].rsplit("/", 1)[-1]: r
+            for r in from_directory(spark, str(d)).collect()}
+    assert set(rows) == {"a.txt", "b.html", "c.py"}
+    assert rows["a.txt"]["content"] == "plain alpha words"
+    assert "tagged" in rows["b.html"]["content"]
+    assert "<b>" not in rows["b.html"]["content"]       # tags stripped
+    assert rows["c.py"]["lang"] == "py"
+
+
+def test_directory_adapter_binary_stub_and_custom_parser(spark, tmp_path):
+    import pytest
+
+    from terrier_spark.index.corpus import from_directory
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "doc.pdf").write_bytes(b"%PDF-fake")
+    with pytest.raises(Exception, match="no parser for .pdf"):
+        from_directory(spark, str(d)).collect()
+    rows = from_directory(
+        spark, str(d),
+        binary_parsers={"pdf": lambda b: f"parsed {len(b)} bytes"},
+    ).collect()
+    assert rows[0]["content"] == "parsed 9 bytes"
+
+
+def test_directory_adapter_glob_prunes_scan(spark, tmp_path):
+    from terrier_spark.index.corpus import from_directory
+
+    d = tmp_path / "crawl3"
+    d.mkdir()
+    (d / "keep.txt").write_text("kept")
+    (d / "skip.log").write_text("skipped")
+    rows = from_directory(spark, str(d), glob="*.txt").collect()
+    assert len(rows) == 1 and rows[0]["content"] == "kept"

@@ -269,6 +269,45 @@ def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docno_as_doc_id(decoded, store, spark).select("term", "doc_id", "tf")
 
 
+def q_postings_bitcodec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec parity: the same posting lists as `postings`, but
+    re-encoded executor-side through the reference BIT layout
+    (gamma-gap + unary-tf, BasicIterablePosting.java:38) and decoded
+    back — the driver gates that the bit codec is a lossless drop-in
+    for the persisted VByte blocks."""
+    from terrier_spark.compression.bitcodecs import (
+        decode_bit_postings,
+        encode_bit_postings,
+    )
+    from terrier_spark.compression.vbyte import decode_scoring_block
+
+    store = gate_index(spark, sf_dir)
+    blocks = store.postings(spark).filter(F.col("term").isin(POSTING_TERMS))
+
+    def recode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples():
+                ids, tfs, _ = decode_scoring_block(row.block)
+                ids2, tfs2 = decode_bit_postings(
+                    encode_bit_postings(ids, tfs), ids.size
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {"term": row.term, "docid": ids2, "tf": tfs2}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    decoded = blocks.select("term", "block").mapInPandas(
+        recode, schema="term string, docid long, tf long"
+    )
+    return _docno_as_doc_id(decoded, store, spark).select(
+        "term", "doc_id", "tf"
+    )
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = gate_index(spark, sf_dir)
     queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
@@ -1008,6 +1047,7 @@ IR_QUERIES = {
     "doc_lengths": q_doc_lengths,
     "collection_stats": q_collection_stats,
     "postings": q_postings,
+    "postings_bitcodec": q_postings_bitcodec,
     "bm25_topk": q_bm25_topk,
     "boolean_and": q_boolean_and,
     "boolean_or": q_boolean_or,
@@ -1039,6 +1079,13 @@ SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS num_docs,
          AS avg_doclen
 """,
     "postings": f"""
+WITH {TOKS_CTE}
+SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+FROM toks WHERE term IN ({_PTERMS_IN})
+GROUP BY term, doc_id
+""",
+    # identical truth: the bit-codec path must be lossless vs VByte
+    "postings_bitcodec": f"""
 WITH {TOKS_CTE}
 SELECT term, doc_id, COUNT(*)::BIGINT AS tf
 FROM toks WHERE term IN ({_PTERMS_IN})

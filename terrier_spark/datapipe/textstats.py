@@ -10,10 +10,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+# Function-word marker lexicons (public high-frequency closed-class
+# words) for the 11 languages the engine also ships stemmers for.
+# `quality_scores` keeps using the "en" entry, so it stays fixed.
 LANG_STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "is", "it", "for", "with", "that"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
     "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "les", "des", "et", "une", "du", "est", "que", "pour",
+           "dans", "qui", "pas"),
+    "it": ("il", "di", "che", "per", "non", "sono", "con", "della", "una",
+           "anche", "come", "gli"),
+    "pt": ("o", "os", "as", "do", "da", "não", "uma", "para", "com", "mais",
+           "dos", "como"),
+    "nl": ("het", "een", "van", "dat", "op", "te", "met", "voor", "niet",
+           "zijn", "aan", "ook"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "för", "med",
+           "inte", "han", "till"),
+    "ru": ("и", "в", "не", "на", "что", "с", "как", "это", "по", "но",
+           "из", "его"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "ama", "çok", "gibi", "daha",
+           "olarak", "sonra", "kadar"),
+    "fi": ("ja", "on", "ei", "että", "joka", "oli", "mutta", "hän", "se",
+           "kun", "niin", "myös"),
 }
 
 # BPE-ish subword pieces: letter runs, digit runs, or single non-space

@@ -589,12 +589,22 @@ FROM feat
 
 
 def _lang_sql() -> str:
+    """Argmax over per-language marker-word hits, ties broken by
+    language code ascending — generated from LANG_STOPWORDS so the
+    oracle tracks the engine's lexicons exactly."""
+    langs = sorted(LANG_STOPWORDS)
     counts = []
-    for lang in sorted(LANG_STOPWORDS):
+    for lang in langs:
         stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         counts.append(
             f"len(list_filter(toks, x -> x IN ({stops})))::BIGINT AS h_{lang}"
         )
+    all_h = ", ".join(f"h_{lg}" for lg in langs)
+    # languages in ascending order: the first one matching the max wins,
+    # mirroring the engine's (hits desc, lang asc) struct sort
+    whens = "\n            ".join(
+        f"WHEN h_{lg} = greatest({all_h}) THEN '{lg}'" for lg in langs
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_WS}') AS toks
@@ -602,11 +612,10 @@ WITH toks AS (
 ),
 c AS (SELECT doc_id, {', '.join(counts)} FROM toks)
 SELECT doc_id,
-       CASE WHEN greatest(h_de, h_en, h_es) = 0 THEN 'und'
-            WHEN h_de >= h_en AND h_de >= h_es THEN 'de'
-            WHEN h_en >= h_es THEN 'en'
-            ELSE 'es' END AS lang_guess,
-       greatest(h_de, h_en, h_es)::BIGINT AS hits
+       CASE WHEN greatest({all_h}) = 0 THEN 'und'
+            {whens}
+            END AS lang_guess,
+       greatest({all_h})::BIGINT AS hits
 FROM c
 """
 

@@ -270,6 +270,25 @@ def test_language_id(spark):
     assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
 
 
+def test_language_id_extended_languages(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "le chat est dans la maison pour les vacances qui viennent"),
+            (1, "il gatto non sono della casa anche per questo come sempre"),
+            (2, "o gato não está para casa com os amigos mais do que antes"),
+            (3, "het huis van een kat is niet te koop voor ook maar iets"),
+            (4, "huset är på en plats som och att av den för med inte han"),
+            (5, "и в доме не было кошки на что это как по но из его"),
+            (6, "bir kedi ve bu ev için ile ama çok gibi daha olarak sonra"),
+            (7, "ja talo on ei kissa että joka oli mutta hän se kun niin"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["lang_guess"] for r in language_id(df).collect()}
+    assert out == {0: "fr", 1: "it", 2: "pt", 3: "nl", 4: "sv",
+                   5: "ru", 6: "tr", 7: "fi"}
+
+
 def test_char_fingerprints_deterministic(spark):
     df = spark.createDataFrame(
         [(0, "abcdefghij"), (1, "abcdefghij"), (2, "zzzzyyyyxxxx"), (3, "ab")],

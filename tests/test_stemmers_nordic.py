@@ -82,3 +82,24 @@ def test_nordic_short_words_untouched():
     for fn in (snowball_da_stem, snowball_no_stem, snowball_sv_stem):
         for w in ("a", "by", "tre", ""):
             assert fn(w) == w, (fn.__name__, w)
+
+
+def test_all_stemmers_total_on_arbitrary_words():
+    """Every registered stemmer is total: returns a str and never
+    raises, on arbitrary unicode words (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from terrier_spark.text.pipeline import STEMMERS
+
+    @given(st.text(min_size=0, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(word):
+        for name, fn in STEMMERS.items():
+            got = fn(word.lower())
+            assert isinstance(got, str), (name, word)
+            # a stemmer may rewrite letters but never grows a word by
+            # more than a couple of replacement characters
+            assert len(got) <= len(word) + 4, (name, word, got)
+
+    check()

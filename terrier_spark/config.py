@@ -68,9 +68,12 @@ class PipelineConfig:
 
     def key(self) -> tuple:
         sw = tuple(sorted(self.stopwords)) if self.stopwords else ()
+        # stages=() is an EXPLICIT empty chain (identity pipeline), not
+        # the default chain: only stages=None may collapse to None here,
+        # or the two collide in the make_pipeline cache
         return (self.max_term_length, self.max_digits, self.max_conseq,
                 self.lowercase, sw, self.stem, self.stemmer, self.tokeniser,
-                tuple(self.stages) if self.stages else None)
+                tuple(self.stages) if self.stages is not None else None)
 
 
 # A pipeline that can be mirrored exactly in ANSI SQL (DuckDB oracle): the

@@ -144,6 +144,6 @@ class IndexStore:
 
         p = dict(self.manifest["pipeline"])
         p["stopwords"] = tuple(p.get("stopwords") or ())
-        if p.get("stages"):
+        if p.get("stages") is not None:
             p["stages"] = tuple(p["stages"])
         return PipelineConfig(**p)

@@ -147,8 +147,7 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
 
 
 def _decode_agg_udf(model: str, N: int, avgdl: float, T: int,
-                    field_params=None, k: Optional[int] = None,
-                    theta_map: Optional[dict] = None):
+                    field_params=None, k: Optional[int] = None):
     """mapInPandas kernel producing FINAL per-(qid, docid) scores for its
     partition.  Requires the input to be hash-partitioned by (qid,
     bucket): the bucket invariant (bucket labels partition docids
@@ -157,18 +156,30 @@ def _decode_agg_udf(model: str, N: int, avgdl: float, T: int,
     complete document score and no post-decode exchange of posting rows
     is needed — the WAND fork's accumulator stage collapsed into the
     decode task.  On top of the final scores the kernel applies
-    (a) the pass-1 theta lower bound per qid (rows that cannot reach the
-    top-k are dropped at the source) and (b) a per-partition top-k cut,
-    so the only exchange after decode is <= k rows per (partition, qid)
-    feeding the global top-k window."""
+    (a) the pass-1 theta lower bound (carried per-row on a `theta`
+    column from the pruning join, so no extra driver action is needed —
+    rows that cannot reach the top-k are dropped at the source) and
+    (b) a per-partition top-k cut, so the only exchange after decode is
+    <= k rows per (partition, qid) feeding the global top-k window."""
     inner = _decode_score_udf(model, N, avgdl, T, field_params)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        theta_map: dict = {}
+
+        def harvest(it):
+            for pdf in it:
+                if "theta" in pdf.columns:
+                    got = pdf.loc[pdf["theta"].notna(),
+                                  ["qid", "theta"]]
+                    for q, t in zip(got["qid"], got["theta"]):
+                        theta_map[q] = float(t)
+                yield pdf
+
         parts = [
             pdf.groupby(["qid", "docid"], as_index=False, sort=False)[
                 "score"
             ].sum()
-            for pdf in inner(batches)
+            for pdf in inner(harvest(batches))
         ]
         if not parts:
             return
@@ -282,14 +293,13 @@ def search_terms(
     can_field_prune = (
         spec.field_bound is not None and "max_ftf_f" in blocks.columns
     )
-    theta_map = None
     if (
         qcfg.prune
         and (spec.prunable or can_field_prune)
         and total_postings >= qcfg.prune_min_postings
     ):
         n_queries = qstats["qid"].nunique()
-        joined, theta_map = _prune_buckets(
+        joined = _prune_buckets(
             spark, joined, qcfg, N, avgdl, T_eff,
             eager=n_queries >= qcfg.prune_eager_min_queries,
             spec=spec, field_params=field_params,
@@ -307,12 +317,15 @@ def search_terms(
         # repartition exchanges compressed BLOCK rows (orders of
         # magnitude smaller) and fixes the few-scan-partitions
         # serialization a small postings dataset would impose.
-        selected = joined.select(*sel_cols, "bucket").repartition(
+        lat_cols = sel_cols + ["bucket"] + (
+            ["theta"] if "theta" in joined.columns else []
+        )
+        selected = joined.select(*lat_cols).repartition(
             default_par, "qid", "bucket"
         )
         decoded = selected.mapInPandas(
             _decode_agg_udf(qcfg.model, N, avgdl, T_eff, field_params,
-                            k=qcfg.k, theta_map=theta_map),
+                            k=qcfg.k),
             schema="qid string, docid long, score double",
         )
         scored = decoded
@@ -344,7 +357,7 @@ def search_terms(
 def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                    N: int, avgdl: float, T: int,
                    eager: bool = True, spec=None,
-                   field_params=None) -> Tuple[DataFrame, Optional[dict]]:
+                   field_params=None) -> DataFrame:
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -457,29 +470,29 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                 F.col("theta").isNull()
                 | (F.col("bucket_ub") >= F.col("theta"))
             )
-            .select("qid", "bucket", "theta")
+            # theta rides the survivor rows into the pruning join (a
+            # column, NOT a driver-side dict), so the latency path's
+            # decode kernel gets it in BOTH eager and lazy modes with
+            # no extra Spark action; -inf (fewer than k pass-1 docs)
+            # means no usable bound -> null
+            .select(
+                "qid", "bucket",
+                F.when(
+                    F.col("theta") != F.lit(float("-inf")), F.col("theta")
+                ).alias("theta"),
+            )
         )
-        theta_map = None
         if eager:
             # materialize the surviving (qid, bucket) pairs NOW: they
             # would be broadcast (= collected to the driver) anyway, and
             # doing it eagerly lets the cached bucket_ub be released
             # deterministically instead of leaking across queries in a
-            # long-lived session.  theta rides along for free: the
-            # decode kernel uses it to drop documents that cannot reach
-            # the top-k before the final exchange.
-            spdf = survivors.toPandas()
-            theta_map = {
-                q: float(t)
-                for q, t in zip(spdf["qid"], spdf["theta"])
-                if t is not None and np.isfinite(t)
-            }
+            # long-lived session.
             survivors = spark.createDataFrame(
-                spdf[["qid", "bucket"]], schema="qid string, bucket long"
+                survivors.toPandas(),
+                schema="qid string, bucket long, theta double",
             )
-        else:
-            survivors = survivors.select("qid", "bucket")
     finally:
         if eager:
             bucket_ub.unpersist()
-    return joined.join(F.broadcast(survivors), ["qid", "bucket"]), theta_map
+    return joined.join(F.broadcast(survivors), ["qid", "bucket"])

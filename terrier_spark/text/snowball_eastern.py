@@ -71,11 +71,15 @@ def _ru_regions(w: str) -> tuple[int, int]:
 def _ru_drop(w: str, rv: int, group1: Sequence[str],
              group2: Sequence[str]) -> Optional[str]:
     """Longest ending from group1 (must follow а/я, which stays) or
-    group2 (unconditional), whole ending inside RV; None if no match."""
+    group2 (unconditional), whole ending inside RV; None if no match.
+    The а/я lookback is itself region-limited (`setlimit tomark pV`
+    in the Snowball source): an а/я sitting before RV does not
+    license a group-1 ending."""
     best, blen = None, -1
     for s in group1:
         if (w.endswith(s) and len(w) - len(s) >= rv
-                and len(w) > len(s) and w[-len(s) - 1] in "ая"
+                and len(w) - len(s) - 1 >= rv
+                and w[-len(s) - 1] in "ая"
                 and len(s) > blen):
             best, blen = w[: -len(s)], len(s)
     for s in group2:

@@ -72,6 +72,9 @@ def _strip(w: str, pattern: str, buffers: str = "yns") -> Optional[str]:
     if len(w) <= n:
         return None
     stem, tail = w[:-n], w[-n:]
+    # harmony is ADJACENT-syllable: each suffix vowel harmonises with
+    # the nearest vowel to its left (stem's last vowel for the first
+    # suffix vowel, then each accepted suffix vowel in turn)
     prev = _last_vowel(stem)
     for pc, tc in zip(pattern, tail):
         if pc == "A":
@@ -85,6 +88,8 @@ def _strip(w: str, pattern: str, buffers: str = "yns") -> Optional[str]:
                 return None
         elif tc != pc:
             return None
+        if tc in _TR_VOWELS:
+            prev = tc
     return stem
 
 

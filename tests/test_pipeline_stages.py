@@ -86,3 +86,21 @@ def test_stages_survive_manifest_roundtrip(spark, tmp_path):
     assert make_pipeline(got).terms(long) == [
         make_pipeline(got).terms(long[:20])[0]
     ]
+
+
+def test_empty_stage_chain_is_identity_not_default():
+    """stages=() is an EXPLICIT empty chain: tokens pass through
+    unprocessed, and the pipeline cache must not collapse it onto the
+    default Stopwords+Porter pipeline (they share every other key
+    field)."""
+    default = make_pipeline(PipelineConfig())
+    empty = make_pipeline(PipelineConfig(stages=()))
+    assert default is not empty
+    assert default.terms("the running dogs") == ["run", "dog"]
+    assert empty.terms("the running dogs") == ["the", "running", "dogs"]
+    # and the same in the opposite construction order (fresh configs,
+    # same cache)
+    assert make_pipeline(PipelineConfig(stages=())).terms("the cats") == [
+        "the", "cats"
+    ]
+    assert make_pipeline(PipelineConfig()).terms("the cats") == ["cat"]

@@ -160,6 +160,14 @@ class QueryConfig:
     # accumulation: at batch scale the JVM agg with map-side partials
     # beats a pandas groupby over string-keyed rows by ~3x.
     agg_in_decode_max_queries: int = 32
+    # Bounded-memory batch execution: when the estimated score-cell
+    # count of a batch (sum over queries of their terms' document
+    # frequencies = rows entering the aggregation) exceeds this cap,
+    # the batch splits into query chunks run as sequential jobs with
+    # eagerly-materialized (<= k rows/query) results, so aggregation
+    # state per job stays bounded no matter how degenerate the
+    # query/corpus combination is.  None disables chunking.
+    batch_max_score_cells: Optional[float] = 1e9
     # Per-field weights / NormalisationB c parameters for BM25F, aligned
     # with the index's field order; None -> all 1.0 (the reference's
     # w.<fi> / c.<fi> property defaults,

@@ -20,6 +20,8 @@ benchmark loop becomes a single plan over a qid dimension).
 
 from __future__ import annotations
 
+import logging
+
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -33,6 +35,8 @@ from terrier_spark.config import QueryConfig
 from terrier_spark.index.store import IndexStore
 from terrier_spark.query.models import get_model, score_scalar
 from terrier_spark.text.pipeline import make_pipeline
+
+log = logging.getLogger("terrier_spark.search")
 
 
 def process_queries(queries: Sequence[Tuple[str, str]],
@@ -255,6 +259,42 @@ def search_terms(
             else "qid string, rank int, docid long, score double"
         )
         return spark.createDataFrame([], schema)
+
+    # Bounded-memory batch execution: a degenerate batch (many queries x
+    # hot terms) can push the per-job (qid, docid) aggregation state
+    # past executor memory — measured: 225 queries x 8M docs of a
+    # saturated vocabulary OOMed a 14-GiB executor.  When the estimated
+    # score-cell count (sum over queries of their terms' document
+    # frequencies) exceeds the cap, split the batch into query chunks
+    # and run them as SEQUENTIAL jobs; each chunk's (tiny, <= k-per-qid)
+    # result is materialized eagerly so chunk memory is released before
+    # the next chunk starts.  Results are identical: queries never
+    # interact in scoring.
+    per_qid = qstats.groupby("qid")["nt"].sum()
+    cap = qcfg.batch_max_score_cells
+    if cap is not None and per_qid.sum() > cap and len(per_qid) > 1:
+        chunks: List[List[str]] = [[]]
+        acc = 0.0
+        for qid, cost in per_qid.sort_index().items():
+            if chunks[-1] and acc + float(cost) > cap:
+                chunks.append([])
+                acc = 0.0
+            chunks[-1].append(qid)
+            acc += float(cost)
+        log.info(
+            "search_terms: %d queries / %.0f estimated score cells "
+            "exceed batch_max_score_cells=%.0f -> %d sequential chunks",
+            len(per_qid), per_qid.sum(), cap, len(chunks),
+        )
+        out = None
+        for chunk in chunks:
+            part = search_terms(
+                spark, store,
+                qterms[qterms["qid"].isin(chunk)],
+                qcfg, with_meta,
+            ).localCheckpoint(eager=True)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     terms = sorted(set(qstats["term"]))
     blocks = store.postings(spark).filter(F.col("term").isin(terms))

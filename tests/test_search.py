@@ -151,3 +151,24 @@ def test_k_limits_results(spark, engine):
     out = search(spark, store, q, QueryConfig(k=3, prune=False)).toPandas()
     assert len(out) <= 3
     assert list(out.sort_values("rank")["rank"]) == list(range(len(out)))
+
+
+def test_chunked_batch_equals_unchunked(spark, engine):
+    """Bounded-memory chunking (batch_max_score_cells) must be
+    result-invariant: queries never interact in scoring, so splitting a
+    batch into sequential jobs returns exactly the same rows."""
+    store, oracle = engine
+    queries = make_queries(oracle, n_per_bucket=2, seed=7)
+    base = QueryConfig(k=20, ignore_low_idf=False)
+    whole = {
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in search(spark, store, queries, base).collect()
+    }
+    # force several chunks: cap of 1 cell puts every query in its own
+    # chunk (single-query chunks may exceed the cap, recursion stops)
+    chunked_cfg = replace(base, batch_max_score_cells=1.0)
+    chunked = {
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in search(spark, store, queries, chunked_cfg).collect()
+    }
+    assert whole == chunked and whole

@@ -276,19 +276,23 @@ def from_directory(spark: SparkSession, path: str,
     Office/PDF parsers.  docno = file path.
 
     Spark-first: one `binaryFile` scan (distributed, pruned by
-    pathGlobFilter) and an Arrow-batched decode kernel.  The binary
-    parsers (PDF/Word/Excel/PowerPoint) need external libraries the
-    reference gets from POI/PDFBox; pass `binary_parsers` as
-    {extension: callable(bytes) -> str} to enable them — without an
-    entry, files with those extensions raise NotImplementedError
-    naming the missing parser (this environment ships none)."""
+    pathGlobFilter) and an Arrow-batched decode kernel.  The modern
+    binary formats parse out of the box with the pure-stdlib parsers in
+    `text/docparsers.py` (pdf/docx/pptx/xlsx — OPC-ZIP XML parts and
+    Flate PDF content streams); the legacy OLE2 binaries (.doc/.xls/
+    .ppt) need POI-grade parsers this environment lacks, so those raise
+    NotImplementedError unless the caller supplies one.  Pass
+    `binary_parsers` as {extension: callable(bytes) -> str} to add or
+    override parsers."""
     reader = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", str(recursive).lower())
     )
     df = reader.load(path)
-    parsers = binary_parsers or {}
+    from terrier_spark.text.docparsers import DEFAULT_BINARY_PARSERS
+
+    parsers = dict(DEFAULT_BINARY_PARSERS) | dict(binary_parsers or {})
     parser_exts = tuple(parsers)
 
     def parse(batches):

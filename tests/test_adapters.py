@@ -186,14 +186,15 @@ def test_directory_adapter_binary_stub_and_custom_parser(spark, tmp_path):
 
     d = tmp_path / "crawl2"
     d.mkdir()
-    (d / "doc.pdf").write_bytes(b"%PDF-fake")
-    with pytest.raises(Exception, match="no parser for .pdf"):
+    # legacy OLE2 formats have no stdlib parser -> clear error
+    (d / "doc.doc").write_bytes(b"\xd0\xcf\x11\xe0fake")
+    with pytest.raises(Exception, match="no parser for .doc"):
         from_directory(spark, str(d)).collect()
     rows = from_directory(
         spark, str(d),
-        binary_parsers={"pdf": lambda b: f"parsed {len(b)} bytes"},
+        binary_parsers={"doc": lambda b: f"parsed {len(b)} bytes"},
     ).collect()
-    assert rows[0]["content"] == "parsed 9 bytes"
+    assert rows[0]["content"] == "parsed 8 bytes"
 
 
 def test_directory_adapter_glob_prunes_scan(spark, tmp_path):

@@ -32,6 +32,8 @@ class IndexStore:
         # memory-mapped for the same reason); only populated when small
         self._lexicon_pdf = None
         self._postings_partitions = None
+        self._postings_df = None
+        self._postings_key = None
 
     def postings_scan_partitions(self, spark: SparkSession) -> int:
         """Number of scan partitions the postings dataset yields (cached;
@@ -49,6 +51,10 @@ class IndexStore:
     @property
     def bucket_span(self) -> int:
         return self.manifest["bucket_span"]
+
+    @property
+    def block_size(self) -> int:
+        return self.manifest.get("block_size", 1024)
 
     @property
     def layout(self) -> str:
@@ -109,6 +115,30 @@ class IndexStore:
         )
 
     def postings(self, spark: SparkSession) -> DataFrame:
+        # Memoized per (session, visible segment set): building the reader
+        # costs ~90ms of py4j/file-listing round trips per call, which
+        # dominates interactive single-query latency.  The key re-lists
+        # the segment directory (cheap, driver-local) so an incremental
+        # index that appended segments since the last call gets a fresh
+        # plan instead of a stale one.
+        key = (id(spark), self._segment_fingerprint())
+        if self._postings_df is not None and self._postings_key == key:
+            return self._postings_df
+        df = self._postings_uncached(spark)
+        self._postings_df, self._postings_key = df, key
+        return df
+
+    def _segment_fingerprint(self) -> tuple:
+        try:  # catches in-place rebuilds/compactions on a reused object
+            mtime = os.stat(os.path.join(self.path, "manifest.json")).st_mtime_ns
+        except OSError:
+            mtime = 0
+        seg_root = os.path.join(self.path, "segments")
+        if not os.path.isdir(seg_root):
+            return (mtime,)
+        return (mtime, *sorted(os.listdir(seg_root)))
+
+    def _postings_uncached(self, spark: SparkSession) -> DataFrame:
         if self.layout == "segmented_compacted":
             df = spark.read.parquet(f"{self.path}/postings_compact")
             # segments appended AFTER the recorded compaction are not in

@@ -207,12 +207,19 @@ def _decode_agg_udf(model: str, N: int, avgdl: float, T: int,
     return run
 
 
+_TOPK_WINDOW = None
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("docid").asc()
-    )
+    # the spec is constant; building it costs ~5 py4j round trips, which
+    # shows up at interactive single-query latency
+    global _TOPK_WINDOW
+    if _TOPK_WINDOW is None:
+        _TOPK_WINDOW = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
     return (
-        scored.withColumn("rank", F.row_number().over(w) - F.lit(1))
+        scored.withColumn("rank", F.row_number().over(_TOPK_WINDOW) - F.lit(1))
         .filter(F.col("rank") < k)
     )
 
@@ -360,8 +367,16 @@ def search_terms(
         lat_cols = sel_cols + ["bucket"] + (
             ["theta"] if "theta" in joined.columns else []
         )
+        # width the exchange to the work, not the box: a single
+        # interactive query over a few dozen compressed blocks gains
+        # nothing from 32 near-empty decode tasks but pays their launch
+        # + Python-worker round-trips.  sum(nt)/block_size lower-bounds
+        # the block count; ~8 blocks per decode task keeps the kernel's
+        # numpy batches fat while capping task-count overhead.
+        est_blocks = total_postings / max(store.block_size, 1) + len(terms)
+        lat_width = int(min(default_par, max(4, est_blocks // 8 + 1)))
         selected = joined.select(*lat_cols).repartition(
-            default_par, "qid", "bucket"
+            lat_width, "qid", "bucket"
         )
         decoded = selected.mapInPandas(
             _decode_agg_udf(qcfg.model, N, avgdl, T_eff, field_params,

@@ -655,12 +655,515 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docno_as_doc_id(out, store, spark).select("doc_id")
 
 
+def _dependence_topk(spark: SparkSession, sf_dir: str,
+                     variant: str) -> DataFrame:
+    """MRF sequential-dependence retrieval from the POSITIONAL index
+    (DependenceScoreModifier.java:216-360 with the DFR scoreFDSD of
+    DFRDependenceScoreModifier.java:91-118 or the Dirichlet-LM pair
+    score of MRFDependenceScoreModifier.java:70-75), over a
+    positive-scoring base model (Hiemstra_LM — the reference's >0 base
+    gate at :260-262 would otherwise void all pair contributions on
+    this negative-idf-saturated corpus)."""
+    from terrier_spark.query.dependence import search_with_dependence
+
+    store = gate_index(spark, sf_dir)
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(
+        k=1_000_000, ignore_low_idf=False, prune=True, model="Hiemstra_LM"
+    )
+    res = search_with_dependence(
+        spark, store, queries, qcfg, dependency="SD", variant=variant
+    )
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def q_sd_dfr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dependence_topk(spark, sf_dir, "DFR")
+
+
+def q_sd_mrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dependence_topk(spark, sf_dir, "MRF")
+
+
+def q_dsm_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + SimpleStaticScoreModifier (matching/dsms/
+    SimpleStaticScoreModifier.java: score += w * prior for ranked docs
+    with a prior and non-zero score) — the prior is a deterministic
+    function of the docno so the oracle can mirror it."""
+    from terrier_spark.query.dsms import (
+        SimpleStaticScoreModifier,
+        search_with_dsms,
+    )
+
+    store = gate_index(spark, sf_dir)
+    docs = store.docs(spark).select(
+        "docid", F.col("docno").cast("long").alias("dno")
+    )
+    priors = docs.filter(F.col("dno") % 3 == 0).select(
+        "docid", ((F.col("dno") % 7) / F.lit(7.0)).alias("prior")
+    )
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True)
+    res = search_with_dsms(
+        spark, store, queries,
+        [SimpleStaticScoreModifier(priors, w=0.5)], qcfg,
+    )
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def q_bo1_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass Bo1 pseudo-relevance feedback
+    (querying/QueryExpansion.java + matching/models/queryexpansion/
+    Bo1.java): first-pass BM25, top-3 feedback docs, Bo1 candidate
+    weights with the mindocuments=2 rule and the parameter-free
+    normaliser quirk (tf_max in both roles), top max(10, |q|) terms
+    merged into the query, second-pass BM25 with the expanded weights."""
+    from terrier_spark.query.expansion import search_with_expansion
+
+    store = gate_index(spark, sf_dir)
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True)
+    res = search_with_expansion(spark, store, queries, qcfg)
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc evaluation (AdhocEvaluation.java) over the gate BM25 run:
+    per-query average precision against deterministic qrels
+    (doc relevant to qN iff doc_id % 7 == N % 7), MAP-ready."""
+    from terrier_spark.query.evaluation import evaluate_run
+
+    run = q_bm25_topk(spark, sf_dir).toPandas()
+    qrels = {
+        qid: {
+            str(r["doc_id"])
+            for r in _all_doc_ids(spark, sf_dir)
+            if r["doc_id"] % 7 == int(qid[1:]) % 7
+        }
+        for qid, _ in GATE_QUERIES
+    }
+    res = evaluate_run(run, qrels, doc_col="doc_id")
+    rows = [
+        (qid, float(round(ap, 8)))
+        for qid, ap in sorted(res["AP_per_query"].items())
+    ]
+    return spark.createDataFrame(rows, "qid string, ap double")
+
+
+def _all_doc_ids(spark: SparkSession, sf_dir: str):
+    store = gate_index(spark, sf_dir)
+    return store.docs(spark).select(
+        F.col("docno").cast("long").alias("doc_id")
+    ).collect()
+
+
 # --------------------------------------------------------------------------
 # oracle SQL
 # --------------------------------------------------------------------------
 
 _TERMS_IN = ", ".join(f"'{t}'" for t in BOOLEAN_TERMS)
 _PTERMS_IN = ", ".join(f"'{t}'" for t in POSTING_TERMS)
+
+
+def _sd_pair_values() -> str:
+    """Adjacent query-term pairs in first-occurrence order (the SD combos
+    of DependenceScoreModifier.java:303-317); gate terms all survive the
+    SQL-safe pipeline, matching the engine's pair construction."""
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for a, b in zip(terms, terms[1:]):
+            if a != b:
+                rows.append(f"('{qid}', '{a}', '{b}')")
+    return ", ".join(rows)
+
+
+_BM25_SCORED_CTES = """
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS avgdl
+),
+ntt AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS nt FROM toks GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(
+           tf.tf * (8.0 + 1.0) * 1.0
+           / ((8.0 + 1.0)
+              * (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / consts.avgdl) + tf.tf))
+           * log2((consts.n - ntt.nt + 0.5) / (ntt.nt + 0.5))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = q.term
+  CROSS JOIN consts
+  GROUP BY q.qid, tf.doc_id
+)"""
+
+
+def _dsm_static_sql(k: int = GATE_K) -> str:
+    """BM25 + static prior, mirroring SimpleStaticScoreModifier: docs
+    with docno % 3 == 0 carry prior (docno % 7)/7, added as w=0.5 *
+    prior when the base score is non-zero.  modified_length (1000)
+    exceeds every candidate set here, so the rank cutoff is inert on
+    both sides (the cutoff branch is pytest-covered in test_dsms)."""
+    return f"""
+WITH {TOKS_CTE},
+q(qid, term) AS (VALUES {_query_values()}),
+{_BM25_SCORED_CTES},
+boosted AS (
+  SELECT qid, doc_id,
+         score + CASE WHEN doc_id % 3 = 0 AND score <> 0.0
+                      THEN 0.5 * ((doc_id % 7) / 7.0)
+                      ELSE 0.0 END AS score
+  FROM scored
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM boosted
+QUALIFY rank < {k}
+"""
+
+
+def _eval_map_sql(k: int = GATE_K) -> str:
+    """Per-query average precision of the gate BM25 run against the
+    deterministic qrels (doc relevant to qN iff doc_id % 7 == N % 7) —
+    the AdhocEvaluation.java AP computation: sum over retrieved
+    relevant docs of hits/(rank+1), divided by TOTAL relevant R."""
+    return f"""
+WITH {TOKS_CTE},
+q(qid, term) AS (VALUES {_query_values()}),
+{_BM25_SCORED_CTES},
+run AS (
+  SELECT qid, doc_id,
+         (row_number() OVER (
+            PARTITION BY qid
+            ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)
+           AS rank
+  FROM scored
+  QUALIFY rank < {k}
+),
+flags AS (
+  SELECT qid, doc_id, rank,
+         CASE WHEN doc_id % 7 = CAST(substr(qid, 2) AS INT) % 7
+              THEN 1 ELSE 0 END AS is_rel
+  FROM run
+),
+cum AS (
+  SELECT qid, rank, is_rel,
+         SUM(is_rel) OVER (
+           PARTITION BY qid ORDER BY rank
+           ROWS UNBOUNDED PRECEDING) AS hits
+  FROM flags
+),
+contrib AS (
+  SELECT qid,
+         SUM(CASE WHEN is_rel = 1
+                  THEN hits::DOUBLE / (rank + 1) ELSE 0.0 END) AS s
+  FROM cum GROUP BY qid
+),
+rtot AS (
+  SELECT c.qid,
+         (SELECT COUNT(*) FROM documents d
+          WHERE d.doc_id % 7 = CAST(substr(c.qid, 2) AS INT) % 7)::DOUBLE
+           AS r
+  FROM contrib c
+)
+SELECT contrib.qid, CAST(round(contrib.s / rtot.r, 8) AS DOUBLE) AS ap
+FROM contrib JOIN rtot ON rtot.qid = contrib.qid
+"""
+
+
+def _bo1_expansion_sql(k: int = GATE_K) -> str:
+    """Full two-pass Bo1 PRF in one DuckDB query, mirroring
+    expand_queries step-for-step: feedback set = top-3 first-pass docs
+    (raw score desc, doc_id asc); tf_x / n-docs-with-term / total_dl
+    from the feedback token stream (the direct index transpose);
+    w(t) = tf_x*log2((1+f)/f) + log2(1+f) with f = F/N
+    (Bo1.java:score), zeroed for candidates in < 2 feedback docs unless
+    original (DFRBagExpansionTerms.java:85,267); normaliser from the
+    max-weight term's tf_x with n' = T/avgdl (Bo1.java:55-61 quirk,
+    avgdl computed as T/N in double to match the engine's floats);
+    top max(10, |q|) candidates by (w_norm desc, term asc); merged
+    qtf = original 1.0 + w_norm (addTermPropertyWeight); second-pass
+    BM25 with qtf as keyFrequency."""
+    return f"""
+WITH {TOKS_CTE},
+q(qid, term) AS (VALUES {_query_values()}),
+{_BM25_SCORED_CTES},
+fbsel AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS rr
+    FROM scored) WHERE rr <= 3
+),
+fb AS (
+  SELECT f.qid, t.doc_id, t.term, COUNT(*)::DOUBLE AS tf
+  FROM fbsel f JOIN toks t ON t.doc_id = f.doc_id
+  GROUP BY f.qid, t.doc_id, t.term
+),
+per_term AS (
+  SELECT qid, term, SUM(tf) AS tf_x,
+         COUNT(DISTINCT doc_id)::DOUBLE AS ndt
+  FROM fb GROUP BY qid, term
+),
+per_qid AS (
+  SELECT qid, COUNT(DISTINCT doc_id)::DOUBLE AS nfb, SUM(tf) AS total_dl
+  FROM fb GROUP BY qid
+),
+lexf AS (SELECT term, COUNT(*)::DOUBLE AS tfc FROM toks GROUP BY term),
+consts3 AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE AS t
+),
+cand AS (
+  SELECT pt.qid, pt.term, pt.tf_x, pt.ndt, pq.nfb, lexf.tfc,
+         (q2.term IS NOT NULL) AS is_original
+  FROM per_term pt
+  JOIN per_qid pq ON pq.qid = pt.qid
+  JOIN lexf ON lexf.term = pt.term
+  LEFT JOIN (SELECT DISTINCT qid, term FROM q) q2
+         ON q2.qid = pt.qid AND q2.term = pt.term
+),
+weighted AS (
+  SELECT c.qid, c.term, c.tf_x, c.is_original,
+         CASE WHEN c.nfb >= 2 AND c.ndt < 2 AND NOT c.is_original
+              THEN 0.0
+              ELSE c.tf_x * log2((1.0 + c.tfc / s.n) / (c.tfc / s.n))
+                   + log2(1.0 + c.tfc / s.n) END AS w
+  FROM cand c CROSS JOIN consts3 s
+),
+norms AS (
+  SELECT qid, tf_max,
+         tf_max * log2((1.0 + tf_max / (s.t / (s.t / s.n)))
+                       / (tf_max / (s.t / (s.t / s.n))))
+         + log2(1.0 + tf_max / (s.t / (s.t / s.n))) AS norm
+  FROM (
+    SELECT qid, tf_x AS tf_max,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY w DESC, term ASC) AS rn
+    FROM weighted) m CROSS JOIN consts3 s
+  WHERE m.rn = 1
+),
+wnormed AS (
+  SELECT w.qid, w.term,
+         CASE WHEN n.norm > 0 THEN w.w / n.norm ELSE 0.0 END AS w_norm
+  FROM weighted w JOIN norms n ON n.qid = w.qid
+),
+n_orig AS (SELECT qid, COUNT(DISTINCT term) AS n_orig FROM q GROUP BY qid),
+top AS (
+  SELECT qid, term, w_norm FROM (
+    SELECT w.qid, w.term, w.w_norm,
+           row_number() OVER (
+             PARTITION BY w.qid
+             ORDER BY w.w_norm DESC, w.term ASC) AS rn,
+           o.n_orig
+    FROM wnormed w JOIN n_orig o ON o.qid = w.qid)
+  WHERE rn <= greatest(10, n_orig)
+),
+combined AS (
+  SELECT COALESCE(t.qid, o.qid) AS qid,
+         COALESCE(t.term, o.term) AS term,
+         COALESCE(o.qtf, 0.0) + COALESCE(t.w_norm, 0.0) AS qtf
+  FROM top t
+  FULL OUTER JOIN (SELECT qid, term, 1.0 AS qtf FROM q) o
+    ON o.qid = t.qid AND o.term = t.term
+),
+scored2 AS (
+  -- keyFrequency saturation (BM25.java k3=8): (k3+1)*qtf/(k3+qtf)
+  SELECT c.qid, tf.doc_id,
+         SUM(
+           tf.tf * (8.0 + 1.0) * c.qtf
+           / ((8.0 + c.qtf)
+              * (1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / consts.avgdl) + tf.tf))
+           * log2((consts.n - ntt.nt + 0.5) / (ntt.nt + 0.5))
+         ) AS score
+  FROM combined c
+  JOIN tf ON tf.term = c.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ntt ON ntt.term = c.term
+  CROSS JOIN consts
+  GROUP BY c.qid, tf.doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM scored2
+QUALIFY rank < {k}
+"""
+
+
+def _dependence_sql(variant: str, k: int = GATE_K) -> str:
+    """SD dependence over a Hiemstra_LM base, mirroring
+    search_with_dependence term-for-term.  With window=2 the
+    noTimesSameOrder count (Distance.java:255-283) reduces to
+    #{p1 : p1+2 <= dl and (p1+1) is a position of the second term} —
+    pure adjacency with the end-of-doc guard, expressible as a
+    positional self-join.  bg is the ngram-adjusted average document
+    length (setCollectionStatistics:393-397).  DFR drops m == 0 pairs
+    (scoreFDSD returns 0, DFRDependenceScoreModifier.java:91-92); MRF
+    keeps every doc containing both terms — the m == 0 length penalty
+    log2(mu/(dl+mu)) applies (MRFDependenceScoreModifier.java:70-75,
+    mu=4000, defaultCf=2*N/100)."""
+    if variant == "DFR":
+        pair_cand = """
+pm AS (
+  SELECT p.qid, p.t1, p.t2, a.doc_id, COUNT(*)::DOUBLE AS m
+  FROM pairs p
+  JOIN postoks a ON a.term = p.t1
+  JOIN postoks b ON b.doc_id = a.doc_id AND b.term = p.t2
+                AND b.pos = a.pos + 1
+  JOIN dl ON dl.doc_id = a.doc_id
+  WHERE a.pos + 2 <= dl.dl
+  GROUP BY p.qid, p.t1, p.t2, a.doc_id
+)"""
+        pair_score = """
+  (
+    (-lgamma(c.bg + 1.0) + lgamma(c.pfn + 1.0)
+     + lgamma(c.bg - c.pfn + 1.0)) / ln(2.0)
+    - c.pfn * log2(1.0 / c.bg)
+    - (c.bg - c.pfn) * log2(1.0 - 1.0 / c.bg)
+  ) / (1.0 + c.pfn)"""
+        pfn_cte = """
+pscored AS (
+  SELECT qid, doc_id, {score} AS pair_score
+  FROM (
+    SELECT pm.qid, pm.doc_id,
+           (SELECT bg FROM consts2) AS bg,
+           pm.m * log2(1.0 + (SELECT bg FROM consts2)
+                 / (CASE WHEN dl.dl < 2 THEN 1.0 ELSE dl.dl - 1.0 END))
+             AS pfn
+    FROM pm JOIN dl ON dl.doc_id = pm.doc_id
+  ) c
+)""".format(score=pair_score)
+    else:  # MRF
+        pair_cand = """
+td AS (SELECT DISTINCT doc_id, term FROM toks),
+adj AS (
+  SELECT p.qid, p.t1, p.t2, a.doc_id, COUNT(*)::DOUBLE AS m
+  FROM pairs p
+  JOIN postoks a ON a.term = p.t1
+  JOIN postoks b ON b.doc_id = a.doc_id AND b.term = p.t2
+                AND b.pos = a.pos + 1
+  JOIN dl ON dl.doc_id = a.doc_id
+  WHERE a.pos + 2 <= dl.dl
+  GROUP BY p.qid, p.t1, p.t2, a.doc_id
+),
+pm AS (
+  SELECT p.qid, p.t1, p.t2, x1.doc_id, COALESCE(adj.m, 0.0) AS m
+  FROM pairs p
+  JOIN td x1 ON x1.term = p.t1
+  JOIN td x2 ON x2.term = p.t2 AND x2.doc_id = x1.doc_id
+  LEFT JOIN adj ON adj.qid = p.qid AND adj.t1 = p.t1 AND adj.t2 = p.t2
+               AND adj.doc_id = x1.doc_id
+)"""
+        pfn_cte = """
+pscored AS (
+  SELECT pm.qid, pm.doc_id,
+         log2(1.0 + pm.m
+              / (4000.0 * (2.0 * ((SELECT n FROM consts2) / 100.0))
+                 / (SELECT t FROM consts2)))
+         + log2(4000.0 / (dl.dl + 4000.0)) AS pair_score
+  FROM pm JOIN dl ON dl.doc_id = pm.doc_id
+)"""
+    return f"""
+WITH {TOKS_CTE},
+{POS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+),
+ff AS (
+  SELECT term, COUNT(*)::DOUBLE AS f FROM toks GROUP BY term
+),
+consts2 AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+         (SELECT COUNT(*) FROM toks)::DOUBLE AS t,
+         ((SELECT COUNT(*) FROM toks)::DOUBLE
+          - (SELECT COUNT(*) FROM documents)::DOUBLE)
+           / (SELECT COUNT(*) FROM documents)::DOUBLE AS bg
+),
+q(qid, term) AS (VALUES {_query_values()}),
+pairs(qid, t1, t2) AS (VALUES {_sd_pair_values()}),
+base AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(log2(1.0 + (0.15 * tf.tf * (SELECT t FROM consts2))
+                  / (0.85 * ff.f * dl.dl))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN ff ON ff.term = q.term
+  GROUP BY q.qid, tf.doc_id
+),
+{pair_cand},
+{pfn_cte},
+prox AS (
+  SELECT qid, doc_id, SUM(pair_score) AS prox
+  FROM pscored GROUP BY qid, doc_id
+),
+final AS (
+  SELECT base.qid, base.doc_id,
+         CASE WHEN base.score > 0
+              THEN base.score + COALESCE(prox.prox, 0.0)
+              ELSE base.score END AS score
+  FROM base
+  LEFT JOIN prox ON prox.qid = base.qid AND prox.doc_id = base.doc_id
+)
+SELECT qid, doc_id,
+       CAST(round(score, {SCORE_DECIMALS}) AS DOUBLE) AS score_r,
+       (row_number() OVER (
+          PARTITION BY qid
+          ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)::BIGINT
+         AS rank
+FROM final
+QUALIFY rank < {k}
+"""
 
 def _tf_idf_sql(k: int = GATE_K) -> str:
     return f"""
@@ -1053,6 +1556,11 @@ IR_QUERIES = {
     "boolean_or": q_boolean_or,
     "phrase": q_phrase,
     "proximity": q_proximity,
+    "sd_dfr_topk": q_sd_dfr_topk,
+    "sd_mrf_topk": q_sd_mrf_topk,
+    "dsm_static_topk": q_dsm_static_topk,
+    "eval_map": q_eval_map,
+    "bo1_expansion_topk": q_bo1_expansion_topk,
 }
 
 IR_ORACLE_SQL = {
@@ -1127,4 +1635,9 @@ FROM postoks a JOIN postoks b ON a.doc_id = b.doc_id
 WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
   AND abs(b.pos - a.pos) <= {PROXIMITY_WINDOW}
 """,
+    "sd_dfr_topk": _dependence_sql("DFR"),
+    "sd_mrf_topk": _dependence_sql("MRF"),
+    "dsm_static_topk": _dsm_static_sql(),
+    "eval_map": _eval_map_sql(),
+    "bo1_expansion_topk": _bo1_expansion_sql(),
 }

@@ -656,7 +656,7 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dependence_topk(spark: SparkSession, sf_dir: str,
-                     variant: str) -> DataFrame:
+                     variant: str, dependency: str = "SD") -> DataFrame:
     """MRF sequential-dependence retrieval from the POSITIONAL index
     (DependenceScoreModifier.java:216-360 with the DFR scoreFDSD of
     DFRDependenceScoreModifier.java:91-118 or the Dirichlet-LM pair
@@ -672,7 +672,7 @@ def _dependence_topk(spark: SparkSession, sf_dir: str,
         k=1_000_000, ignore_low_idf=False, prune=True, model="Hiemstra_LM"
     )
     res = search_with_dependence(
-        spark, store, queries, qcfg, dependency="SD", variant=variant
+        spark, store, queries, qcfg, dependency=dependency, variant=variant
     )
     res = _docno_as_doc_id(res, store, spark)
     res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
@@ -692,6 +692,14 @@ def q_sd_dfr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sd_mrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dependence_topk(spark, sf_dir, "MRF")
+
+
+def q_fd_dfr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dependence: every query-term pair (i < j), unordered sliding
+    windows (Distance.noTimes via windowsForTerms) — with window=2 a
+    size-2 window contains both distinct terms iff they are adjacent in
+    either order, so m reduces to bidirectional adjacency."""
+    return _dependence_topk(spark, sf_dir, "DFR", dependency="FD")
 
 
 def q_dsm_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +735,88 @@ def q_dsm_static_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") < GATE_K)
         .select("qid", "doc_id", "score_r", "rank")
     )
+
+
+def _rounded_rank(res: DataFrame, store, spark) -> DataFrame:
+    res = _docno_as_doc_id(res, store, spark)
+    res = res.withColumn("score_r", F.round(F.col("score"), SCORE_DECIMALS))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("rank") < GATE_K)
+        .select("qid", "doc_id", "score_r", "rank")
+    )
+
+
+def q_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructureMerger path (structures/merging/StructureMerger.java):
+    the corpus split in two, indexed separately, merged with docid
+    re-basing — BM25 over the merged index must equal BM25 over a
+    single build, so the oracle is the plain BM25 SQL."""
+    from terrier_spark.index.merge import merge_indexes
+
+    key = os.path.abspath(sf_dir)
+    store = _MERGED_CACHE.get(key)
+    if store is None:
+        root = os.path.join(
+            tempfile.gettempdir(), "terrier_spark_gate_merged_v1",
+            key.strip("/").replace("/", "_"),
+        )
+        out = os.path.join(root, "merged")
+        if not os.path.exists(os.path.join(out, "manifest.json")):
+            corpus = load_documents_corpus(spark, sf_dir)
+            half = corpus.filter(F.col("docno").cast("long") % 2 == 0)
+            other = corpus.filter(F.col("docno").cast("long") % 2 == 1)
+            cfg = IndexConfig(pipeline=SQL_SAFE_PIPELINE)
+            a = build_index(spark, half, os.path.join(root, "a"), cfg,
+                            bucket_span=1024)
+            b = build_index(spark, other, os.path.join(root, "b"), cfg,
+                            bucket_span=1024)
+            merge_indexes(spark, a, b, out)
+        store = IndexStore(out)
+        _MERGED_CACHE[key] = store
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True)
+    return _rounded_rank(search(spark, store, queries, qcfg), store, spark)
+
+
+def q_incremental_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalIndex path (realtime/incremental/IncrementalIndex.java):
+    the corpus ingested as three micro-batches through the segment
+    store, finalized, then searched — results must equal the one-shot
+    build, so the oracle is the plain BM25 SQL."""
+    from terrier_spark.streaming.incremental import IncrementalIndexer
+
+    key = os.path.abspath(sf_dir)
+    store = _INCR_CACHE.get(key)
+    if store is None:
+        out = os.path.join(
+            tempfile.gettempdir(), "terrier_spark_gate_incr_v1",
+            key.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(out, "manifest.json")):
+            corpus = load_documents_corpus(spark, sf_dir)
+            idx = IncrementalIndexer(
+                out, IndexConfig(pipeline=SQL_SAFE_PIPELINE),
+                bucket_span=1024,
+            )
+            for i in range(3):
+                idx.index_batch(
+                    corpus.filter(F.col("docno").cast("long") % 3 == i), i
+                )
+            store = idx.finalize()
+        else:
+            store = IndexStore(out)
+        _INCR_CACHE[key] = store
+    queries = [(qid, " ".join(terms)) for qid, terms in GATE_QUERIES]
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True)
+    return _rounded_rank(search(spark, store, queries, qcfg), store, spark)
+
+
+_MERGED_CACHE: dict = {}
+_INCR_CACHE: dict = {}
 
 
 def q_bo1_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,6 +891,18 @@ def _sd_pair_values() -> str:
         for a, b in zip(terms, terms[1:]):
             if a != b:
                 rows.append(f"('{qid}', '{a}', '{b}')")
+    return ", ".join(rows)
+
+
+def _fd_pair_values() -> str:
+    """Every (i, j) i < j pair — the FD combos
+    (DependenceScoreModifier.java:341-357)."""
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for i in range(len(terms)):
+            for j in range(i + 1, len(terms)):
+                if terms[i] != terms[j]:
+                    rows.append(f"('{qid}', '{terms[i]}', '{terms[j]}')")
     return ", ".join(rows)
 
 
@@ -1037,7 +1139,8 @@ QUALIFY rank < {k}
 """
 
 
-def _dependence_sql(variant: str, k: int = GATE_K) -> str:
+def _dependence_sql(variant: str, k: int = GATE_K,
+                    dependency: str = "SD") -> str:
     """SD dependence over a Hiemstra_LM base, mirroring
     search_with_dependence term-for-term.  With window=2 the
     noTimesSameOrder count (Distance.java:255-283) reduces to
@@ -1049,16 +1152,26 @@ def _dependence_sql(variant: str, k: int = GATE_K) -> str:
     keeps every doc containing both terms — the m == 0 length penalty
     log2(mu/(dl+mu)) applies (MRFDependenceScoreModifier.java:70-75,
     mu=4000, defaultCf=2*N/100)."""
+    # SD: ordered adjacency (t1 then t2) with the p1 + window <= dl
+    # guard; FD with window=2: a size-2 sliding window contains both
+    # distinct terms iff they are adjacent in EITHER order, and each
+    # such adjacency maps to a unique window start min(p1, p2), so
+    # |pos difference| = 1 counts windows exactly (Distance.noTimes).
+    adjacency = (
+        "b.pos = a.pos + 1" if dependency == "SD"
+        else "abs(b.pos - a.pos) = 1"
+    )
+    dl_guard = "WHERE a.pos + 2 <= dl.dl" if dependency == "SD" else ""
     if variant == "DFR":
-        pair_cand = """
+        pair_cand = f"""
 pm AS (
   SELECT p.qid, p.t1, p.t2, a.doc_id, COUNT(*)::DOUBLE AS m
   FROM pairs p
   JOIN postoks a ON a.term = p.t1
   JOIN postoks b ON b.doc_id = a.doc_id AND b.term = p.t2
-                AND b.pos = a.pos + 1
+                AND {adjacency}
   JOIN dl ON dl.doc_id = a.doc_id
-  WHERE a.pos + 2 <= dl.dl
+  {dl_guard}
   GROUP BY p.qid, p.t1, p.t2, a.doc_id
 )"""
         pair_score = """
@@ -1130,7 +1243,8 @@ consts2 AS (
            / (SELECT COUNT(*) FROM documents)::DOUBLE AS bg
 ),
 q(qid, term) AS (VALUES {_query_values()}),
-pairs(qid, t1, t2) AS (VALUES {_sd_pair_values()}),
+pairs(qid, t1, t2) AS (VALUES {
+    _sd_pair_values() if dependency == "SD" else _fd_pair_values()}),
 base AS (
   SELECT q.qid, tf.doc_id,
          SUM(log2(1.0 + (0.15 * tf.tf * (SELECT t FROM consts2))
@@ -1558,9 +1672,12 @@ IR_QUERIES = {
     "proximity": q_proximity,
     "sd_dfr_topk": q_sd_dfr_topk,
     "sd_mrf_topk": q_sd_mrf_topk,
+    "fd_dfr_topk": q_fd_dfr_topk,
     "dsm_static_topk": q_dsm_static_topk,
     "eval_map": q_eval_map,
     "bo1_expansion_topk": q_bo1_expansion_topk,
+    "merged_bm25_topk": q_merged_bm25_topk,
+    "incremental_bm25_topk": q_incremental_bm25_topk,
 }
 
 IR_ORACLE_SQL = {
@@ -1637,7 +1754,12 @@ WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
 """,
     "sd_dfr_topk": _dependence_sql("DFR"),
     "sd_mrf_topk": _dependence_sql("MRF"),
+    "fd_dfr_topk": _dependence_sql("DFR", dependency="FD"),
     "dsm_static_topk": _dsm_static_sql(),
     "eval_map": _eval_map_sql(),
     "bo1_expansion_topk": _bo1_expansion_sql(),
+    # split-build + StructureMerger and 3-batch IncrementalIndex must be
+    # indistinguishable from a one-shot build: same BM25 truth
+    "merged_bm25_topk": _bm25_sql(),
+    "incremental_bm25_topk": _bm25_sql(),
 }

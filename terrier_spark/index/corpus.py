@@ -296,10 +296,12 @@ def from_directory(spark: SparkSession, path: str,
     parser_exts = tuple(parsers)
 
     def parse(batches):
+        import logging
         import re
 
         import pandas as pd
 
+        klog = logging.getLogger("terrier_spark.corpus")
         tag_re = re.compile(r"<[^>]+>")
         for pdf in batches:
             rows = []
@@ -307,7 +309,18 @@ def from_directory(spark: SparkSession, path: str,
                 ext = fpath.rsplit(".", 1)[-1].lower() if "." in fpath \
                     else ""
                 if ext in parser_exts:
-                    text = parsers[ext](bytes(blob))
+                    # a corrupt office/PDF file must not kill a
+                    # million-file crawl (SimpleFileCollection logs and
+                    # skips unparseable files, :268-274): skip the file,
+                    # keep the job alive
+                    try:
+                        text = parsers[ext](bytes(blob))
+                    except Exception as exc:
+                        klog.warning(
+                            "skipping unparseable .%s file %s: %s",
+                            ext, fpath, exc,
+                        )
+                        continue
                 elif ext in _BINARY_EXTS:
                     raise NotImplementedError(
                         f"no parser for .{ext} files ({fpath}): the "

@@ -116,6 +116,36 @@ def test_pdf_garbage_is_safe():
     assert parse_pdf(b"stream\n\x78\x9cbroken\nendstream") == ""
 
 
+def test_corrupt_file_skipped_not_fatal(spark, tmp_path):
+    """One corrupt office file must not kill the crawl
+    (SimpleFileCollection.java logs and skips unparseable files)."""
+    from terrier_spark.index.corpus import from_directory
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.docx").write_bytes(make_docx())
+    (d / "bad.docx").write_bytes(b"PK\x03\x04 truncated-not-a-zip")
+    (d / "note.txt").write_text("plain text survives")
+    rows = from_directory(spark, str(d)).collect()
+    got = {r["docno"].rsplit("/", 1)[-1]: r["content"] for r in rows}
+    assert "bad.docx" not in got
+    assert "hello docx world" in got["good.docx"]
+    assert got["note.txt"] == "plain text survives"
+
+
+def test_pdf_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def check(blob):
+        out = parse_pdf(blob)          # must never raise
+        assert isinstance(out, str)
+
+    check()
+
+
 def test_directory_adapter_routes_default_parsers(spark, tmp_path):
     from terrier_spark.index.corpus import from_directory
 

@@ -276,12 +276,13 @@ def from_directory(spark: SparkSession, path: str,
     Office/PDF parsers.  docno = file path.
 
     Spark-first: one `binaryFile` scan (distributed, pruned by
-    pathGlobFilter) and an Arrow-batched decode kernel.  The modern
-    binary formats parse out of the box with the pure-stdlib parsers in
-    `text/docparsers.py` (pdf/docx/pptx/xlsx — OPC-ZIP XML parts and
-    Flate PDF content streams); the legacy OLE2 binaries (.doc/.xls/
-    .ppt) need POI-grade parsers this environment lacks, so those raise
-    NotImplementedError unless the caller supplies one.  Pass
+    pathGlobFilter) and an Arrow-batched decode kernel.  Every binary
+    format parses out of the box with the pure-stdlib parsers in
+    `text/docparsers.py`: pdf/docx/pptx/xlsx exactly (OPC-ZIP XML parts
+    and Flate PDF content streams) and the legacy OLE2 .doc/.xls/.ppt
+    best-effort (`text/olevba.py` — MS-CFB container + piece-table /
+    BIFF8 / record-tree text extraction per the public format specs).
+    Unparseable files are logged and skipped, never fatal.  Pass
     `binary_parsers` as {extension: callable(bytes) -> str} to add or
     override parsers."""
     reader = (

@@ -247,9 +247,22 @@ def parse_pdf(blob: bytes) -> str:
     return re.sub(r"[ \t]+", " ", text).strip()
 
 
+def _legacy(name):
+    # lazy import: the OLE2 parsers live in their own module
+    def run(blob: bytes) -> str:
+        from terrier_spark.text import olevba
+
+        return getattr(olevba, name)(blob)
+
+    return run
+
+
 DEFAULT_BINARY_PARSERS = {
     "pdf": parse_pdf,
     "docx": parse_docx,
     "pptx": parse_pptx,
     "xlsx": parse_xlsx,
+    "doc": _legacy("parse_doc"),
+    "xls": _legacy("parse_xls"),
+    "ppt": _legacy("parse_ppt"),
 }

@@ -186,10 +186,10 @@ def test_directory_adapter_binary_stub_and_custom_parser(spark, tmp_path):
 
     d = tmp_path / "crawl2"
     d.mkdir()
-    # legacy OLE2 formats have no stdlib parser -> clear error
+    # a corrupt OLE2 file is skipped by the default parser chain...
     (d / "doc.doc").write_bytes(b"\xd0\xcf\x11\xe0fake")
-    with pytest.raises(Exception, match="no parser for .doc"):
-        from_directory(spark, str(d)).collect()
+    assert from_directory(spark, str(d)).collect() == []
+    # ...and a caller-supplied parser overrides the default
     rows = from_directory(
         spark, str(d),
         binary_parsers={"doc": lambda b: f"parsed {len(b)} bytes"},

@@ -161,4 +161,6 @@ def test_directory_adapter_routes_default_parsers(spark, tmp_path):
     assert "second slide" in rows["pptx"]
     assert "inline cell" in rows["xlsx"]
     assert "Hello" in rows["pdf"]
-    assert set(DEFAULT_BINARY_PARSERS) == {"pdf", "docx", "pptx", "xlsx"}
+    assert set(DEFAULT_BINARY_PARSERS) == {
+        "pdf", "docx", "pptx", "xlsx", "doc", "xls", "ppt"
+    }

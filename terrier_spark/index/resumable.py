@@ -274,6 +274,15 @@ def build_index_resumable(
     cfg = cfg or IndexConfig()
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    if cfg.sort_docids_by:
+        # docid-reordering-for-compression (InvertedIndexReordering.java:
+        # 114-140), now on the segmented path too; the persist below pins
+        # the range partitioning across the plan and build jobs, and the
+        # plan-count guard in run() turns any cross-run partitioning
+        # drift into a loud error instead of corrupt docids
+        corpus = corpus.repartitionByRange(
+            *cfg.sort_docids_by
+        ).sortWithinPartitions(*cfg.sort_docids_by)
     # pin partitioning across the plan job and the build job (see
     # builder.build_index for rationale)
     corpus = corpus.persist()

@@ -148,6 +148,34 @@ def test_xml_adapter(spark, tmp_path):
     assert rows["x2"]["content"] == "xml body beta"
 
 
+def test_medline_xml_variant(spark, tmp_path):
+    """SimpleMedlineXMLCollection (org/terrier/indexing/
+    SimpleMedlineXMLCollection.java) is the same XML machinery with
+    Medline tag names — covered by from_xml_files' configurable tags."""
+    p = tmp_path / "medline.xml"
+    p.write_text(
+        "<MedlineCitationSet>"
+        "<MedlineCitation><PMID>12345</PMID>"
+        "<ArticleTitle>aspirin trial</ArticleTitle>"
+        "<AbstractText>randomized controlled study</AbstractText>"
+        "</MedlineCitation>"
+        "<MedlineCitation><PMID>67890</PMID>"
+        "<AbstractText>second abstract</AbstractText>"
+        "</MedlineCitation>"
+        "</MedlineCitationSet>"
+    )
+    rows = {
+        r["docno"]: r
+        for r in from_xml_files(
+            spark, str(p), doc_tag="MedlineCitation", docno_tag="PMID"
+        ).collect()
+    }
+    assert set(rows) == {"12345", "67890"}
+    assert "aspirin trial" in rows["12345"]["content"]
+    assert "randomized controlled study" in rows["12345"]["content"]
+    assert rows["67890"]["content"] == "second abstract"
+
+
 def test_adapter_corpus_indexes_end_to_end(spark, tmp_path):
     p = tmp_path / "f1.trec"
     p.write_text(TREC_FILE)

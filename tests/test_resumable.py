@@ -233,3 +233,31 @@ def test_compaction_keeps_later_segments_visible(spark, corpus, tmp_path):
     # and compacting again with nothing new is a no-op
     again = compact_postings(spark, recompacted)
     assert again.manifest["compacted_segments"] == seg_names
+
+
+def test_docid_reordering_segmented(spark, corpus, tmp_path):
+    """sort_docids_by on the SEGMENTED path: docids follow (repo, path)
+    order, and retrieval is identical to the ingest-order build (docno
+    ranking is docid-independent)."""
+    cfg = IndexConfig(sort_docids_by=("repo", "path"))
+    sorted_store = build_index_resumable(
+        spark, corpus, str(tmp_path / "sorted"), cfg, bucket_span=64
+    )
+    meta = sorted_store.meta(spark).orderBy("docid").toPandas()
+    keys = list(zip(meta["repo"], meta["path"]))
+    assert keys == sorted(keys)
+
+    plain_store = build_index_resumable(
+        spark, corpus, str(tmp_path / "plain"), IndexConfig(), bucket_span=64
+    )
+    qcfg = QueryConfig(k=10, ignore_low_idf=False)
+    queries = [("q1", "return class sym1"), ("q2", "for int sym2 sym3")]
+
+    def by_docno(store):
+        res = search(spark, store, queries, qcfg, with_meta=True)
+        return sorted(
+            (r["qid"], r["rank"], r["docno"], round(r["score"], 9))
+            for r in res.collect()
+        )
+
+    assert by_docno(sorted_store) == by_docno(plain_store)

@@ -118,6 +118,84 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# the Gopher quality-rule stop set (Rae et al. 2021, §A.1.1: a document
+# must contain at least two of these)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, table A1) as
+    pure JVM Columns -> (id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_word_frac, stop_hits, keep).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; '#'/ellipsis symbols per word <= 0.1; <= 90% of lines
+    bullet-started; <= 30% of lines ellipsis-ended; >= 80% of words
+    contain a letter; >= 2 of the required stop words present.  The
+    default thresholds are the paper's."""
+    t = F.col(text_col)
+    words = F.regexp_extract_all(t, F.lit(WS_RE), 0)
+    n_words = F.size(words).cast("long")
+    nw1 = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.length(F.concat_ws("", words)).cast("double")
+    mean_wl = F.round(word_chars / nw1, 6)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", "")))
+        / F.lit(3)
+    ).cast("long") + (
+        F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    )
+    symbol_ratio = F.round((n_hash + n_ell).cast("double") / nw1, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(
+        lines,
+        lambda ln: ln.startswith("•") | ln.startswith("- ")
+        | ln.startswith("* "),
+    ))
+    bullet_frac = F.round(bullet_lines.cast("double") / n_lines, 6)
+    ell_lines = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…")
+    ))
+    ellipsis_frac = F.round(ell_lines.cast("double") / n_lines, 6)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words.cast("double") / nw1, 6)
+    lw = F.regexp_extract_all(F.lower(t), F.lit(WS_RE), 0)
+    stop_hits = sum(
+        F.array_contains(lw, s).cast("int") for s in GOPHER_STOPS
+    ).cast("long")
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 def char_fingerprints(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", gram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit md5-int over all

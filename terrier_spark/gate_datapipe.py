@@ -255,6 +255,14 @@ def q_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
 
+def q_gopher_quality(spark, sf_dir):
+    from terrier_spark.datapipe.textstats import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
@@ -588,6 +596,68 @@ FROM feat
 """
 
 
+_GOPHER_STOPS_IN = ", ".join(
+    f"'{w}'" for w in
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+# Gopher quality rules (Rae et al. 2021 table A1), mirroring
+# textstats.gopher_quality expression-for-expression (round 6 both sides)
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{_WS}') AS words,
+         regexp_extract_all(lower(text), '{_WS}') AS lwords,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         greatest(len(words), 1)::DOUBLE AS nw1,
+         len(list_aggregate(list_prepend('', words), 'string_agg', ''))
+           ::DOUBLE AS word_chars,
+         (len(text) - len(replace(text, '#', '')))::BIGINT AS n_hash,
+         ((len(text) - len(replace(text, '...', ''))) // 3
+          + (len(text) - len(replace(text, '…', ''))))::BIGINT AS n_ell,
+         greatest(len(lines), 1)::DOUBLE AS n_lines,
+         len(list_filter(lines, l -> starts_with(l, '•')
+             OR starts_with(l, '- ') OR starts_with(l, '* ')))::BIGINT
+           AS bullet_lines,
+         len(list_filter(lines, l -> ends_with(l, '...')
+             OR ends_with(l, '…')))::BIGINT AS ell_lines,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           ::BIGINT AS alpha_words,
+         len(list_filter([{_GOPHER_STOPS_IN}],
+                         s -> list_contains(lwords, s)))::BIGINT
+           AS stop_hits
+  FROM base
+),
+scored AS (
+  SELECT doc_id, n_words,
+         CAST(round(word_chars / nw1, 6) AS DOUBLE) AS mean_word_len,
+         CAST(round((n_hash + n_ell)::DOUBLE / nw1, 6) AS DOUBLE)
+           AS symbol_ratio,
+         CAST(round(bullet_lines::DOUBLE / n_lines, 6) AS DOUBLE)
+           AS bullet_frac,
+         CAST(round(ell_lines::DOUBLE / n_lines, 6) AS DOUBLE)
+           AS ellipsis_frac,
+         CAST(round(alpha_words::DOUBLE / nw1, 6) AS DOUBLE)
+           AS alpha_word_frac,
+         stop_hits
+  FROM feat
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac, stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM scored
+"""
+
+
 def _lang_sql() -> str:
     """Argmax over per-language marker-word hits, ties broken by
     language code ascending — generated from LANG_STOPWORDS so the
@@ -647,6 +717,7 @@ DATAPIPE_QUERIES = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
+    "gopher_quality": q_gopher_quality,
     "language_id": q_lang_id,
     "char_fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -661,6 +732,7 @@ DATAPIPE_ORACLE_SQL = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "token_counts": _TOKEN_COUNTS_SQL,
     "quality_scores": _QUALITY_SQL,
+    "gopher_quality": _GOPHER_SQL,
     "language_id": _lang_sql(),
     "char_fingerprint": _FINGERPRINT_SQL,
     "minhash_lsh_pairs": _minhash_lsh_sql(),

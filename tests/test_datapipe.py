@@ -399,3 +399,35 @@ def test_ann_mass_duplication_bounded(spark):
     ).toPandas()
     assert stats2["lsh_topk_buckets"]["truncated_buckets"] >= 1
     assert len(got2[got2["query_id"] == 0]) == 5
+
+
+def test_gopher_quality_rules(spark):
+    """The Gopher rules fire individually: a clean English paragraph
+    passes; each pathological fixture trips exactly its rule."""
+    from terrier_spark.datapipe.textstats import gopher_quality
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and runs off with "
+        "that bone to have a very fine day in the meadow while birds "
+        "sing softly above the trees and rivers flow gently past all "
+        "the stones that line their banks with moss and reeds swaying "
+        "under a warm bright summer sun"
+    )
+    rows = [
+        (1, clean),                                    # keep
+        (2, "too few words"),                          # word count
+        (3, " ".join(["a"] * 60)),                     # mean word len < 3
+        (4, clean + " " + "#" * 1 * 0 + " ".join(["#word"] * 30)),  # symbols
+        (5, "\n".join(["- bullet line every time"] * 10)),  # bullets
+        (6, " ".join(["12345"] * 60)),                 # alpha fraction
+        (7, " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 12)),  # stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] == 3
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] == 1.0
+    assert got[4]["keep"] is False and got[4]["symbol_ratio"] > 0.1
+    assert got[5]["keep"] is False and got[5]["bullet_frac"] == 1.0
+    assert got[6]["keep"] is False and got[6]["alpha_word_frac"] == 0.0
+    assert got[7]["keep"] is False and got[7]["stop_hits"] == 0

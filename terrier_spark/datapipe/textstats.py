@@ -196,6 +196,126 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_dup_line_frac: float = 0.30,
+                      max_dup_line_char_frac: float = 0.20,
+                      max_top_2gram_char_frac: float = 0.20) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, table A1 second half)
+    -> (id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+    keep).  Definitions (public implementations vary; these are pinned
+    and mirrored by the SQL oracle):
+
+      dup_line_frac       repeated occurrences of a non-empty trimmed
+                          line (count - 1 per distinct line) / total
+                          non-empty lines
+      dup_line_char_frac  characters in those repeated occurrences /
+                          characters in all non-empty lines
+      top_2gram_char_frac characters covered by the most frequent word
+                          2-gram (count * gram length) / characters in
+                          all words; the top gram is (count desc, gram
+                          asc) so ties are deterministic.  Overlapping
+                          occurrences each count their full gram length,
+                          so a degenerate "x y x y ..." doc can score
+                          above 1.0 — fine for thresholding, as in the
+                          public implementations
+
+    Scale shape: explode -> partial-agg groupBy keyed by (id, line) /
+    (id, gram) -> per-id agg — no per-doc quadratic array work, safe for
+    100k-line documents."""
+    t = F.col(text_col)
+    base = df.select(F.col(id_col).alias("id"), t.alias("__text"))
+
+    lines = base.select(
+        "id",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col("__text"), "\n"),
+                            lambda ln: F.trim(ln)),
+                lambda ln: ln != "",
+            )
+        ).alias("line"),
+    )
+    line_counts = lines.groupBy("id", "line").agg(
+        F.count("*").alias("cnt"), F.length("line").alias("chars")
+    )
+    line_feats = line_counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).alias("dup_lines"),
+        F.sum(F.col("cnt") * F.col("chars")).alias("line_chars"),
+        F.sum((F.col("cnt") - 1) * F.col("chars")).alias("dup_line_chars"),
+    )
+
+    words = F.regexp_extract_all(F.lower(F.col("__text")), F.lit(WS_RE), 0)
+    grams = base.select(
+        "id",
+        F.length(F.concat_ws("", words)).alias("word_chars"),
+        F.explode_outer(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    per_gram = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("id", "word_chars", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # deterministic top gram: max cnt, then min gram among ties
+    max_cnt = per_gram.groupBy("id", "word_chars").agg(
+        F.max("cnt").alias("max_cnt")
+    )
+    top = (
+        per_gram.join(max_cnt, ["id", "word_chars"])
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("id", "word_chars", "max_cnt")
+        .agg(F.min("gram").alias("top_gram"))
+        .select(
+            "id",
+            (
+                F.col("max_cnt") * F.length("top_gram")
+            ).cast("double").alias("top_covered"),
+            F.col("word_chars").cast("double").alias("word_chars"),
+        )
+    )
+
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(line_feats, "id", "left")
+        .join(top, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.col("dup_lines"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_lines"), F.lit(0)),
+                             F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("dup_line_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("line_chars"), F.lit(0)),
+                             F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.coalesce(F.col("top_covered"), F.lit(0.0))
+                / F.greatest(F.coalesce(F.col("word_chars"), F.lit(0.0)),
+                             F.lit(1.0)),
+                6,
+            ).alias("top_2gram_char_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+            & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac),
+        )
+    )
+    return out
+
+
 def char_fingerprints(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", gram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit md5-int over all

@@ -263,6 +263,14 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_repetition_scores(spark, sf_dir):
+    from terrier_spark.datapipe.textstats import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
@@ -658,6 +666,83 @@ FROM scored
 """
 
 
+# Gopher repetition filters, mirroring textstats.repetition_scores'
+# pinned definitions (dup occurrences = count - 1; top 2-gram =
+# (cnt desc, gram asc); round 6 both sides)
+_REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''
+),
+line_counts AS (
+  SELECT doc_id, line, COUNT(*)::BIGINT AS cnt, len(line)::BIGINT AS chars
+  FROM lines GROUP BY doc_id, line
+),
+line_feats AS (
+  SELECT doc_id,
+         SUM(cnt)::BIGINT AS n_lines,
+         SUM(cnt - 1)::BIGINT AS dup_lines,
+         SUM(cnt * chars)::BIGINT AS line_chars,
+         SUM((cnt - 1) * chars)::BIGINT AS dup_line_chars
+  FROM line_counts GROUP BY doc_id
+),
+wordlists AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '\\S+') AS words
+  FROM documents
+),
+wstats AS (
+  SELECT doc_id,
+         len(list_aggregate(list_prepend('', words), 'string_agg', ''))
+           ::BIGINT AS word_chars
+  FROM wordlists
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(words), 1)),
+           i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM wordlists
+  WHERE len(words) >= 2
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt
+  FROM grams GROUP BY doc_id, gram
+),
+max_cnt AS (
+  SELECT doc_id, MAX(cnt) AS mc FROM per_gram GROUP BY doc_id
+),
+top AS (
+  SELECT p.doc_id, m.mc * len(MIN(p.gram)) AS top_covered
+  FROM per_gram p JOIN max_cnt m
+    ON m.doc_id = p.doc_id AND p.cnt = m.mc
+  GROUP BY p.doc_id, m.mc
+),
+feats AS (
+  SELECT d.doc_id,
+         CAST(round(COALESCE(lf.dup_lines, 0)::DOUBLE
+              / greatest(COALESCE(lf.n_lines, 0), 1), 6) AS DOUBLE)
+           AS dup_line_frac,
+         CAST(round(COALESCE(lf.dup_line_chars, 0)::DOUBLE
+              / greatest(COALESCE(lf.line_chars, 0), 1), 6) AS DOUBLE)
+           AS dup_line_char_frac,
+         CAST(round(COALESCE(t.top_covered, 0)::DOUBLE
+              / greatest(COALESCE(w.word_chars, 0), 1), 6) AS DOUBLE)
+           AS top_2gram_char_frac
+  FROM documents d
+  LEFT JOIN line_feats lf ON lf.doc_id = d.doc_id
+  LEFT JOIN wstats w ON w.doc_id = d.doc_id
+  LEFT JOIN top t ON t.doc_id = d.doc_id
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        AND top_2gram_char_frac <= 0.20) AS keep
+FROM feats
+"""
+
+
 def _lang_sql() -> str:
     """Argmax over per-language marker-word hits, ties broken by
     language code ascending — generated from LANG_STOPWORDS so the
@@ -718,6 +803,7 @@ DATAPIPE_QUERIES = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
     "gopher_quality": q_gopher_quality,
+    "repetition_scores": q_repetition_scores,
     "language_id": q_lang_id,
     "char_fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -733,6 +819,7 @@ DATAPIPE_ORACLE_SQL = {
     "token_counts": _TOKEN_COUNTS_SQL,
     "quality_scores": _QUALITY_SQL,
     "gopher_quality": _GOPHER_SQL,
+    "repetition_scores": _REPETITION_SQL,
     "language_id": _lang_sql(),
     "char_fingerprint": _FINGERPRINT_SQL,
     "minhash_lsh_pairs": _minhash_lsh_sql(),

@@ -431,3 +431,24 @@ def test_gopher_quality_rules(spark):
     assert got[5]["keep"] is False and got[5]["bullet_frac"] == 1.0
     assert got[6]["keep"] is False and got[6]["alpha_word_frac"] == 0.0
     assert got[7]["keep"] is False and got[7]["stop_hits"] == 0
+
+
+def test_repetition_scores_rules(spark):
+    """Gopher repetition filters: clean text passes; duplicated lines and
+    a dominating 2-gram each trip their rule."""
+    from terrier_spark.datapipe.textstats import repetition_scores
+
+    clean = "\n".join(
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(10)
+    )
+    dup_lines = "\n".join(["the same exact line again"] * 10)
+    loop_gram = " ".join(["buy now"] * 40)
+    rows = [(1, clean), (2, dup_lines), (3, loop_gram), (4, ""), (5, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in repetition_scores(df).collect()}
+    assert got[1]["keep"] is True and got[1]["dup_line_frac"] == 0.0
+    assert got[2]["keep"] is False and got[2]["dup_line_frac"] == 0.9
+    assert got[2]["dup_line_char_frac"] == 0.9
+    assert got[3]["keep"] is False and got[3]["top_2gram_char_frac"] > 0.2
+    # empty / single-word docs: all fractions zero, keep True
+    assert got[4]["keep"] is True and got[5]["keep"] is True

@@ -316,6 +316,46 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+# PII patterns (kept RE2-compatible — no backreferences/lookaround — so
+# the DuckDB oracle runs the identical regexes)
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+)
+# optional +country, then three separator-joined digit groups (2-4/3-4/
+# 3-4) — covers 555 987 6543, (555) 123-4567, 020-7946-0958 shapes;
+# dotted IPs are already masked by the preceding IP pass
+PII_PHONE_RE = (
+    "(?:\\+?[0-9]{1,3}[-. ])?"
+    "\\(?[0-9]{2,4}\\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}\\b"
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Standard training-data PII redaction: mask emails, IPv4 addresses
+    and phone numbers with typed placeholder tokens, and count the
+    replacements -> (id, scrubbed, n_emails, n_ips, n_phones).  Pure JVM
+    regexp columns; the masks are the common <|email|>-style sentinels
+    so downstream tokenizers see a single token per redaction.  Order is
+    pinned (emails, then IPs, then phones on the already-masked text) —
+    the oracle mirrors it."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    step1 = F.regexp_replace(t, PII_EMAIL_RE, "<|email|>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(PII_IPV4_RE), 0))
+    step2 = F.regexp_replace(step1, PII_IPV4_RE, "<|ip|>")
+    n_phones = F.size(F.regexp_extract_all(step2, F.lit(PII_PHONE_RE), 0))
+    step3 = F.regexp_replace(step2, PII_PHONE_RE, "<|phone|>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        step3.alias("scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
 def char_fingerprints(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", gram: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit md5-int over all

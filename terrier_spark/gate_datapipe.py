@@ -271,6 +271,46 @@ def q_repetition_scores(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    from terrier_spark.datapipe.textstats import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def _pii_sql() -> str:
+    """Identical RE2-compatible patterns, identical mask order; DuckDB
+    regexp_replace needs the 'g' flag to match Spark's global default."""
+    from terrier_spark.datapipe.textstats import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    e, i, ph = esc(PII_EMAIL_RE), esc(PII_IPV4_RE), esc(PII_PHONE_RE)
+    return f"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{e}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{e}', '<|email|>', 'g') AS t1
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{i}'))::BIGINT AS n_ips,
+         regexp_replace(t1, '{i}', '<|ip|>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{ph}', '<|phone|>', 'g') AS scrubbed,
+       n_emails, n_ips,
+       len(regexp_extract_all(t2, '{ph}'))::BIGINT AS n_phones
+FROM s2
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
@@ -804,6 +844,7 @@ DATAPIPE_QUERIES = {
     "quality_scores": q_quality,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
+    "pii_scrub": q_pii_scrub,
     "language_id": q_lang_id,
     "char_fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -820,6 +861,7 @@ DATAPIPE_ORACLE_SQL = {
     "quality_scores": _QUALITY_SQL,
     "gopher_quality": _GOPHER_SQL,
     "repetition_scores": _REPETITION_SQL,
+    "pii_scrub": _pii_sql(),
     "language_id": _lang_sql(),
     "char_fingerprint": _FINGERPRINT_SQL,
     "minhash_lsh_pairs": _minhash_lsh_sql(),

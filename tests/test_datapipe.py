@@ -452,3 +452,26 @@ def test_repetition_scores_rules(spark):
     assert got[3]["keep"] is False and got[3]["top_2gram_char_frac"] > 0.2
     # empty / single-word docs: all fractions zero, keep True
     assert got[4]["keep"] is True and got[5]["keep"] is True
+
+
+def test_pii_scrub(spark):
+    from terrier_spark.datapipe.textstats import pii_scrub
+
+    rows = [
+        (1, "contact alice.smith+news@example.co.uk or bob@test.org now"),
+        (2, "server at 192.168.1.100 and 10.0.0.1 responded"),
+        (3, "call +1 (555) 123-4567 or 555 987 6543 today"),
+        (4, "no personal data here"),
+        (5, "mixed: eve@corp.io from 172.16.254.3 phone 020-7946-0958"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 2
+    assert "<|email|>" in got[1]["scrubbed"]
+    assert "alice" not in got[1]["scrubbed"]
+    assert got[2]["n_ips"] == 2 and got[2]["scrubbed"].count("<|ip|>") == 2
+    assert got[3]["n_phones"] == 2
+    assert "4567" not in got[3]["scrubbed"]
+    assert got[4]["scrubbed"] == "no personal data here"
+    assert (got[5]["n_emails"], got[5]["n_ips"]) == (1, 1)
+    assert got[5]["n_phones"] >= 1

@@ -1,7 +1,9 @@
 """End-to-end training-data curation + indexing pipeline demo.
 
     raw corpus
+      -> PII scrub               (datapipe.pii_scrub sentinel masking)
       -> quality filter          (datapipe.quality_scores keep flag)
+      -> repetition filter       (Gopher repetition rules keep flag)
       -> exact dedup             (keep canonical per content hash)
       -> near-dup removal        (MinHash+LSH verified pairs; drop the
                                   higher-id member of each pair)
@@ -40,14 +42,34 @@ def main() -> None:
     from terrier_spark.index.resumable import build_index_resumable
     from terrier_spark.query.search import search
 
+    from terrier_spark.datapipe.textstats import pii_scrub, repetition_scores
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
-    # 1. quality filter
+    # 0. PII scrub: replace text with the masked version (counts kept
+    # for the report); downstream stages see only scrubbed text
+    scrubbed = pii_scrub(docs)
+    pii_found = scrubbed.agg(
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ips").alias("ips"),
+        F.sum("n_phones").alias("phones"),
+    ).collect()[0]
+    docs = docs.drop("text").join(
+        scrubbed.select(F.col("id").alias("doc_id"),
+                        F.col("scrubbed").alias("text")),
+        "doc_id",
+    )
+
+    # 1. quality filter (basic heuristics + Gopher repetition rules)
     keep_ids = quality_scores(docs).filter("keep").select(
         F.col("id").alias("doc_id")
     )
     docs = docs.join(keep_ids, "doc_id", "left_semi")
+    rep_keep = repetition_scores(docs).filter("keep").select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(rep_keep, "doc_id", "left_semi")
     n1 = docs.count()
 
     # 2. exact dedup: drop non-canonical members of identical-text groups
@@ -80,6 +102,9 @@ def main() -> None:
 
     print(json.dumps({
         "input_docs": n0,
+        "pii_masked": {"emails": int(pii_found["emails"] or 0),
+                       "ips": int(pii_found["ips"] or 0),
+                       "phones": int(pii_found["phones"] or 0)},
         "after_quality": n1,
         "after_exact_dedup": n2,
         "after_near_dedup": n3,

@@ -139,6 +139,12 @@ class QueryConfig:
     # Block-max WAND-style pruning on/off; results must be identical either
     # way (bound-safe pruning).
     prune: bool = True
+    # Consume the exact per-block max-score metadata stored at compaction
+    # time (index/maxscore.py) when present/valid — extends bound-safe
+    # pruning to non-monotone models (PL2, DPH, DLH, ...) and tightens it
+    # for monotone ones.  Off -> only the analytic (max_tf, min_dl) /
+    # field bounds are used.  Results are identical either way.
+    use_exact_maxscore: bool = True
     # Pruning pays only when there are enough candidate postings to skip:
     # below this total (sum of query-term document frequencies) the
     # two-pass bound computation costs more than the decode it avoids, so

@@ -49,7 +49,11 @@ BLOCK_SCHEMA = (
     # per-field block metadata (field indexes only, else null): per-field
     # tf sums (-> lexicon FieldEntryStatistics, SingleFieldModel.java:131),
     # per-field max tf and min length (-> field-aware block-max bounds)
-    "ftf_sum array<long>, max_ftf_f array<long>, min_fln_f array<long>"
+    "ftf_sum array<long>, max_ftf_f array<long>, min_fln_f array<long>, "
+    # exact per-block unit-score maxima per registered model (filled at
+    # compaction time by index/maxscore.py; null until then — a null
+    # bound never prunes)
+    "max_score array<double>"
 )
 
 
@@ -130,6 +134,7 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False,
                     ftf_sum,
                     max_ftf_f,
                     min_fln_f,
+                    None,  # max_score: filled by compaction (maxscore.py)
                 )
             )
         return pd.DataFrame(
@@ -138,6 +143,7 @@ def _encode_group(cfg_block_size: int, with_positions: bool = False,
                 "term", "bucket", "block_id", "n", "first_docid",
                 "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
                 "ftf", "fln", "ftf_sum", "max_ftf_f", "min_fln_f",
+                "max_score",
             ],
         )
 

@@ -104,6 +104,10 @@ def _rebase_blocks(offset: int, span: int):
                             row.term, int(buckets[s]), row.block_id, n,
                             int(ids[s]), int(ids[e - 1]), max_tf, min_dl,
                             tf_sum, blk, p, ft, fl, fsum, fmax, fmin,
+                            # max_score: nulled — the merged collection's
+                            # stats differ, so source-index unit maxima
+                            # are invalid bounds here
+                            None,
                         )
                     )
             if rows:
@@ -112,7 +116,8 @@ def _rebase_blocks(offset: int, span: int):
                     columns=["term", "bucket", "block_id", "n",
                              "first_docid", "last_docid", "max_tf",
                              "min_dl", "tf_sum", "block", "pos", "ftf",
-                             "fln", "ftf_sum", "max_ftf_f", "min_fln_f"],
+                             "fln", "ftf_sum", "max_ftf_f", "min_fln_f",
+                             "max_score"],
                 )
 
     return run
@@ -148,11 +153,15 @@ def merge_indexes(spark: SparkSession, a: IndexStore, b: IndexStore,
 
     def _with_field_meta(df: DataFrame) -> DataFrame:
         # indexes written before the per-field block metadata existed
-        # union cleanly with new ones (columns null)
+        # union cleanly with new ones (columns null); max_score is ALWAYS
+        # nulled — the merged collection's stats invalidate stored unit
+        # maxima (recompute via compact_postings on the merged index)
         for c in ("ftf_sum", "max_ftf_f", "min_fln_f"):
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("array<long>"))
-        return df
+        if "max_score" in df.columns:
+            df = df.drop("max_score")
+        return df.withColumn("max_score", F.lit(None).cast("array<double>"))
 
     blocks_a = _with_field_meta(a.postings(spark))
     blocks_b = _with_field_meta(b.postings(spark)).mapInPandas(

@@ -100,6 +100,7 @@ def _write_segment(seg_dir: str, docs: pd.DataFrame, meta: pd.DataFrame,
         ("ftf_sum", pa.list_(pa.int64())),
         ("max_ftf_f", pa.list_(pa.int64())),
         ("min_fln_f", pa.list_(pa.int64())),
+        ("max_score", pa.list_(pa.float64())),
     ])
     pq.write_table(
         pa.Table.from_pandas(blocks, schema=schema, preserve_index=False),
@@ -244,14 +245,15 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
                         encode_scoring_block(ids[b0:b1], tfs[b0:b1],
                                              dls[b0:b1]),
                         pos_bytes, ftf_bytes, fln_bytes,
-                        ftf_sum, max_ftf_f, min_fln_f,
+                        ftf_sum, max_ftf_f, min_fln_f, None,
                     )
                 )
     blocks = pd.DataFrame(
         block_rows,
         columns=["term", "bucket", "block_id", "n", "first_docid",
                  "last_docid", "max_tf", "min_dl", "tf_sum", "block", "pos",
-                 "ftf", "fln", "ftf_sum", "max_ftf_f", "min_fln_f"],
+                 "ftf", "fln", "ftf_sum", "max_ftf_f", "min_fln_f",
+                 "max_score"],
     )
     return docs, meta, blocks, sha_acc.hexdigest()
 
@@ -445,17 +447,30 @@ def _finalize(spark: SparkSession, out_dir: str, cfg: IndexConfig,
         manifest["compacted_segments"] = (
             prior_manifest.get("compacted_segments") or []
         )
+        # keep the maxscore registration; the stats snapshot it carries
+        # is the compaction-time one, so if this finalize changed the
+        # collection stats (an appended batch), IndexStore.maxscore_index
+        # sees the drift and stops consuming the stale bounds until the
+        # next compaction refreshes them
+        for k in ("maxscore_models", "maxscore_stats"):
+            if k in prior_manifest:
+                manifest[k] = prior_manifest[k]
     with open(f"{out_dir}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=2)
 
 
 def compact_postings(spark: SparkSession, store: IndexStore,
-                     cfg: Optional[IndexConfig] = None) -> IndexStore:
+                     cfg: Optional[IndexConfig] = None,
+                     maxscore_models: Optional[tuple] = None) -> IndexStore:
     """Re-group and re-encode posting blocks across segments into the
     monolithic layout (geometric-merge / recompress analog).  Produces
     optimal 1024-posting blocks; positional (pos) and per-field (ftf/fln)
     payloads are decoded, re-sliced to the new block boundaries and
     re-encoded alongside the scoring blocks.
+
+    Also fills the exact per-block max-score metadata (index/maxscore.py
+    — the fork's Maxscore pre-scan paid here instead of per query) for
+    `maxscore_models` (None -> the registered defaults; () -> disable).
 
     Re-entrant: the manifest records which segments a compaction covers
     (`compacted_segments`), so a later compaction reads the previous
@@ -490,8 +505,11 @@ def compact_postings(spark: SparkSession, store: IndexStore,
     if all_segs:
         srcs = []
         if covered and os.path.isdir(compact_path):
-            if not new_segs:
-                return store  # nothing appended since the last compaction
+            # nothing appended since the last compaction AND the maxscore
+            # metadata is already registered -> nothing to do (a legacy
+            # compacted index without it falls through and gets upgraded)
+            if not new_segs and manifest.get("maxscore_models") is not None:
+                return store
             srcs.append(spark.read.parquet(compact_path))
         if new_segs:
             srcs.append(spark.read.parquet(
@@ -540,6 +558,20 @@ def compact_postings(spark: SparkSession, store: IndexStore,
                       with_fields=bool(nf)),
         schema=BLOCK_SCHEMA,
     )
+    # exact per-block max-score metadata (generic Maxscore, paid here):
+    # one extra decode pass over the freshly-encoded blocks, joined with
+    # the lexicon for per-term (nt, F) statistics
+    from terrier_spark.index.maxscore import (
+        resolve_maxscore_models,
+        with_max_scores,
+    )
+
+    ms_models = resolve_maxscore_models(maxscore_models, nf)
+    if ms_models:
+        blocks = with_max_scores(
+            blocks, spark.read.parquet(f"{out_dir}/lexicon"),
+            ms_models, manifest["stats"], nf,
+        )
     # write beside the live compact file, swap in atomically after the job
     tmp = f"{compact_path}.tmp-{uuid.uuid4().hex[:8]}"
     (
@@ -552,6 +584,11 @@ def compact_postings(spark: SparkSession, store: IndexStore,
     os.replace(tmp, compact_path)
     manifest["layout"] = "segmented_compacted"
     manifest["compacted_segments"] = all_segs
+    manifest["maxscore_models"] = ms_models
+    manifest["maxscore_stats"] = {
+        "num_docs": manifest["stats"]["num_docs"],
+        "num_tokens": manifest["stats"]["num_tokens"],
+    }
     with open(f"{out_dir}/manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=2)
     return IndexStore(out_dir)

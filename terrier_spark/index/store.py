@@ -56,6 +56,24 @@ class IndexStore:
     def block_size(self) -> int:
         return self.manifest.get("block_size", 1024)
 
+    def maxscore_index(self, model: str):
+        """1-based position of `model` in the stored per-block max_score
+        arrays (for element_at), or None when the metadata is absent,
+        does not cover the model, or is STALE — the stats snapshot taken
+        at compaction time no longer matches the live collection stats
+        (segments appended since), in which case the unit-score maxima
+        are no longer valid bounds and must not prune."""
+        models = self.manifest.get("maxscore_models") or []
+        if model not in models:
+            return None
+        snap = self.manifest.get("maxscore_stats") or {}
+        if (
+            snap.get("num_docs") != self.stats.get("num_docs")
+            or snap.get("num_tokens") != self.stats.get("num_tokens")
+        ):
+            return None
+        return models.index(model) + 1
+
     @property
     def layout(self) -> str:
         # "monolithic" (builder.build_index) or "segmented"/
@@ -120,8 +138,12 @@ class IndexStore:
         # dominates interactive single-query latency.  The key re-lists
         # the segment directory (cheap, driver-local) so an incremental
         # index that appended segments since the last call gets a fresh
-        # plan instead of a stale one.
-        key = (id(spark), self._segment_fingerprint())
+        # plan instead of a stale one.  Keyed on applicationId, not
+        # id(spark): a stopped session's object id can be recycled by a
+        # new SparkSession, which would hand out a DataFrame bound to a
+        # dead JVM session.
+        key = (spark.sparkContext.applicationId,
+               self._segment_fingerprint())
         if self._postings_df is not None and self._postings_key == key:
             return self._postings_df
         df = self._postings_uncached(spark)

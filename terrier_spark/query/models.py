@@ -13,8 +13,10 @@ each docstring); all logs base 2 (WeightingModelLibrary.java:40-60).
 `prunable` marks models monotone increasing in tf and decreasing in dl,
 for which score(max_tf, min_dl) upper-bounds every posting in a block
 (clamped at 0, which stays a valid bound when idf goes negative) — the
-block-max pruning contract.  DPH/DLH are not monotone in tf, so they run
-unpruned.
+block-max pruning contract.  Non-monotone models (DPH/DLH/PL2/...) are
+covered instead by the EXACT per-block max-score metadata stored at
+compaction time (index/maxscore.py) together with each model's
+multiplicative `qtf_scale` factor.
 """
 
 from __future__ import annotations
@@ -616,6 +618,34 @@ _SINGLE_FIELD_NAME = re.compile(
 )
 
 
+# --------------------------------------------------------------------------
+# qtf factorisation: in EVERY reference model the query term frequency
+# enters the score as a multiplicative factor with factor(1) == 1 —
+# score(tf, dl, qtf, ...) == qtf_scale(qtf) * score(tf, dl, 1, ...).
+# That makes an index-time stored max of the UNIT score (qtf=1, clamped
+# at 0) a valid per-block upper bound for ANY qtf > 0:
+#     score(posting, qtf) = qtf_scale(qtf) * unit_score(posting)
+#                        <= qtf_scale(qtf) * stored_max.
+# The lambdas below use only overloaded arithmetic so the SAME callable
+# works on numpy arrays and on Spark Columns (the exact-maxscore pruning
+# path evaluates it as a pure Column expression — no UDF).
+
+def _qtf_linear(q):
+    return q
+
+
+def _qtf_none(q):
+    return 1.0 + 0.0 * q
+
+
+def _qtf_saturating(k3: float):
+    def scale(q):
+        return (k3 + 1.0) * q / (k3 + q)
+
+    scale.__name__ = f"qtf_saturating_{k3}"
+    return scale
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     kernel: Callable
@@ -630,6 +660,11 @@ class ModelSpec:
     # SingleFieldModel stat restriction: field ids whose token/TF sums
     # replace the global collection statistics (documentFrequency global)
     active_fields: Optional[tuple] = None
+    # exact multiplicative qtf factor (see block comment above); numpy-
+    # and Column-compatible.  Linear (score = qtf * base) is the common
+    # case; DirichletLM/Hiemstra_LM/Dl/Tf ignore qtf entirely; the
+    # BM25-family saturates at (k3+1)qtf/(k3+qtf).
+    qtf_scale: Callable = _qtf_linear
 
 
 def bm25f_field_ub(max_ftf, min_fln, qtf, nt, N, weights, cs, avg_flens,
@@ -658,10 +693,10 @@ def bm25f_field_ub(max_ftf, min_fln, qtf, nt, N, weights, cs, avg_flens,
 
 
 MODELS: Dict[str, ModelSpec] = {
-    "BM25": ModelSpec(bm25, True),
+    "BM25": ModelSpec(bm25, True, qtf_scale=_qtf_saturating(8.0)),
     "TF_IDF": ModelSpec(tf_idf, True),
-    "DirichletLM": ModelSpec(dirichlet_lm, True),
-    "Hiemstra_LM": ModelSpec(hiemstra_lm, True),
+    "DirichletLM": ModelSpec(dirichlet_lm, True, qtf_scale=_qtf_none),
+    "Hiemstra_LM": ModelSpec(hiemstra_lm, True, qtf_scale=_qtf_none),
     "PL2": ModelSpec(pl2, False),   # TF*log2(TF) term is not monotone
     "InL2": ModelSpec(inl2, True),
     "LGD": ModelSpec(lgd, True),
@@ -673,7 +708,8 @@ MODELS: Dict[str, ModelSpec] = {
     "IFB2": ModelSpec(ifb2, True),
     "LemurTF_IDF": ModelSpec(lemur_tf_idf, True),
     "BB2": ModelSpec(bb2, False),        # Bose-Einstein term not monotone
-    "DFR_BM25": ModelSpec(dfr_bm25, True),
+    "DFR_BM25": ModelSpec(dfr_bm25, True,
+                          qtf_scale=_qtf_saturating(1000.0)),
     "DFRee": ModelSpec(dfree, False),
     "DFReeKLIM": ModelSpec(dfree_klim, False),
     "DFIC": ModelSpec(dfic, False),      # thresholded at the expectation
@@ -683,15 +719,26 @@ MODELS: Dict[str, ModelSpec] = {
     "In_expC2": ModelSpec(in_expc2, True),
     "InB2": ModelSpec(inb2, True),
     # Dl grows with doc length, so (max_tf, min_dl) does NOT bound it
-    "Dl": ModelSpec(dl_model, False),
-    "Tf": ModelSpec(tf_model, True),
-    # field-aware: needs ftf/fln block vectors (per-field bounds are not
-    # captured by (max_tf, min_dl), so no block-max pruning)
+    "Dl": ModelSpec(dl_model, False, qtf_scale=_qtf_none),
+    "Tf": ModelSpec(tf_model, True, qtf_scale=_qtf_none),
+    # field-aware: needs ftf/fln block vectors.  BM25F additionally has an
+    # analytic per-field bound valid for ANY weights/cs; all of them are
+    # exactly prunable via the stored per-block max-score metadata when
+    # the query runs with the index-time default field parameters.
     "BM25F": ModelSpec(bm25f, False, needs_fields=True,
-                       field_bound=bm25f_field_ub),
+                       field_bound=bm25f_field_ub,
+                       qtf_scale=_qtf_saturating(8.0)),
     "PL2F": ModelSpec(pl2f, False, needs_fields=True),
     "ML2": ModelSpec(ml2, False, needs_fields=True),
     "MDL2": ModelSpec(mdl2, False, needs_fields=True),
+}
+
+# qtf factor of each DFR basic model (the only place qtf appears in a
+# DFR(...) / PerField(...) composition): BM and DFR_BM saturate, the rest
+# are linear multipliers.
+_DFR_BASIC_QTF = {
+    "BM": _qtf_saturating(8.0),
+    "DFR_BM": _qtf_saturating(1000.0),
 }
 
 
@@ -707,6 +754,7 @@ def get_model(name: str) -> ModelSpec:
             spec = ModelSpec(
                 per_field_kernel(m.group("b"), m.group("n")),
                 prunable=False, needs_fields=True,
+                qtf_scale=_DFR_BASIC_QTF.get(m.group("b"), _qtf_linear),
             )
         except KeyError as e:
             raise ValueError(
@@ -721,10 +769,11 @@ def get_model(name: str) -> ModelSpec:
     if m:
         base = m.group("base").strip()
         ids = tuple(int(x) for x in m.group("ids").split(",") if x.strip())
-        get_model(base)  # validate base name eagerly
+        base_spec = get_model(base)  # validate base name eagerly
         spec = ModelSpec(
             single_field_kernel(base, ids), prunable=False,
             needs_fields=True, active_fields=ids,
+            qtf_scale=base_spec.qtf_scale,
         )
         MODELS[name] = spec
         return spec
@@ -738,6 +787,7 @@ def get_model(name: str) -> ModelSpec:
                     float(m.group("c")) if m.group("c") else 1.0,
                 ),
                 prunable=False,  # conservative: composed bound not proven
+                qtf_scale=_DFR_BASIC_QTF.get(m.group("b"), _qtf_linear),
             )
         except KeyError as e:
             raise ValueError(

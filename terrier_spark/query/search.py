@@ -208,16 +208,22 @@ def _decode_agg_udf(model: str, N: int, avgdl: float, T: int,
 
 
 _TOPK_WINDOW = None
+_TOPK_WINDOW_APP = None
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     # the spec is constant; building it costs ~5 py4j round trips, which
-    # shows up at interactive single-query latency
-    global _TOPK_WINDOW
-    if _TOPK_WINDOW is None:
+    # shows up at interactive single-query latency.  Keyed on the
+    # applicationId (not just cached forever): a WindowSpec holds JVM
+    # object references, and after spark.stop() a new session must not
+    # receive a spec bound to the dead one.
+    global _TOPK_WINDOW, _TOPK_WINDOW_APP
+    app = scored.sparkSession.sparkContext.applicationId
+    if _TOPK_WINDOW is None or _TOPK_WINDOW_APP != app:
         _TOPK_WINDOW = Window.partitionBy("qid").orderBy(
             F.col("score").desc(), F.col("docid").asc()
         )
+        _TOPK_WINDOW_APP = app
     return (
         scored.withColumn("rank", F.row_number().over(_TOPK_WINDOW) - F.lit(1))
         .filter(F.col("rank") < k)
@@ -340,16 +346,33 @@ def search_terms(
     can_field_prune = (
         spec.field_bound is not None and "max_ftf_f" in blocks.columns
     )
+    # exact per-block max-score metadata (generic Maxscore, stored at
+    # compaction; index/maxscore.py): valid for any model, monotone or
+    # not.  maxscore_index() already refuses stale snapshots; field-model
+    # maxima additionally assume the index-time default field parameters
+    # (weights = cs = 1.0), so a reweighted query falls back.
+    ms_idx = None
+    if qcfg.prune and qcfg.use_exact_maxscore and "max_score" in blocks.columns:
+        ms_idx = store.maxscore_index(qcfg.model)
+        if ms_idx is not None and spec.needs_fields and field_params:
+            weights, cs, _ = field_params
+            if any(w != 1.0 for w in weights) or any(c != 1.0 for c in cs):
+                ms_idx = None
+    # k >= bucket_span provably makes pruning a no-op: a bucket spans at
+    # most bucket_span distinct docids, so pass 1 can never find k docs
+    # in one bucket and theta stays undefined -> every bucket survives.
+    # Skip the two-pass instead of paying it for nothing.
     if (
         qcfg.prune
-        and (spec.prunable or can_field_prune)
+        and qcfg.k < store.bucket_span
+        and (spec.prunable or can_field_prune or ms_idx is not None)
         and total_postings >= qcfg.prune_min_postings
     ):
         n_queries = qstats["qid"].nunique()
         joined = _prune_buckets(
             spark, joined, qcfg, N, avgdl, T_eff,
             eager=n_queries >= qcfg.prune_eager_min_queries,
-            spec=spec, field_params=field_params,
+            spec=spec, field_params=field_params, ms_idx=ms_idx,
         )
     default_par = spark.sparkContext.defaultParallelism
     n_queries = int(qstats["qid"].nunique())
@@ -412,7 +435,7 @@ def search_terms(
 def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                    N: int, avgdl: float, T: int,
                    eager: bool = True, spec=None,
-                   field_params=None) -> DataFrame:
+                   field_params=None, ms_idx=None) -> DataFrame:
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -432,14 +455,28 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
     both passes, but it is a metadata-only agg (no posting decode) and
     costs far less than a second job's fixed overhead.
 
-    Field models with a `field_bound` (BM25F) bound blocks from the
-    per-field (max_ftf_f, min_fln_f) metadata instead of (max_tf,
-    min_dl) — the WAND fork's pruning extended to fielded scoring."""
+    Bound sources, tightest available first:
+      * ms_idx set — the stored EXACT per-block unit-score maximum
+        (index/maxscore.py) scaled by the model's multiplicative qtf
+        factor, as a pure Column expression (valid for non-monotone
+        models; null metadata -> +inf, never prunes);
+      * field models with a `field_bound` (BM25F) — analytic bound from
+        the per-field (max_ftf_f, min_fln_f) metadata, any weights;
+      * monotone models — kernel(max_tf, min_dl) block bound."""
     spec = spec or get_model(qcfg.model)
     kernel = spec.kernel
-    field_pruned = spec.field_bound is not None
+    field_pruned = ms_idx is None and spec.field_bound is not None
 
-    if field_pruned:
+    if ms_idx is not None:
+        block_ubs = joined.withColumn(
+            "block_ub",
+            F.coalesce(
+                F.element_at(F.col("max_score"), F.lit(int(ms_idx)))
+                * spec.qtf_scale(F.col("qtf")),
+                F.lit(float("inf")),
+            ),
+        )
+    elif field_pruned:
         fbound = spec.field_bound
         weights, cs, avg_flens = field_params
 

@@ -172,23 +172,56 @@ QUALIFY rank < {k}
 # engine side
 # --------------------------------------------------------------------------
 
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content-version tag for the gate's disk-cached indexes: hash of
+    the documents parquet's (path, size, mtime), so a REGENERATED corpus
+    at the same path rebuilds the index instead of silently reusing a
+    stale one (the DuckDB oracle always reads the fresh parquet, so a
+    stale index would show up as a confusing gate diff)."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    root = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    paths = [root] if os.path.isfile(root) else sorted(
+        _glob.glob(os.path.join(root, "*.parquet"))
+    )
+    h = _hashlib.sha256()
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except OSError:
+            h.update(f"{p}:missing;".encode())
+    return h.hexdigest()[:12]
+
+
+def _cache_key(sf_dir: str) -> str:
+    return os.path.abspath(sf_dir) + "@" + _corpus_fingerprint(sf_dir)
+
+
+def _cache_dir(tag: str, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    return os.path.join(
+        tempfile.gettempdir(), tag,
+        key.strip("/").replace("/", "_") + "_" + _corpus_fingerprint(sf_dir),
+    )
+
+
 _INDEX_CACHE: dict[str, IndexStore] = {}
 
 
 def gate_index(spark: SparkSession, sf_dir: str) -> IndexStore:
     """Build (once per sf_dir per process) the SQL-safe-pipeline index over
     the documents table."""
-    key = os.path.abspath(sf_dir)
+    key = _cache_key(sf_dir)
     store = _INDEX_CACHE.get(key)
     if store is not None:
         return store
     # format-versioned cache path: a stale index from an older block
-    # layout must never be reused across rounds
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "terrier_spark_gate_v4",
-        key.strip("/").replace("/", "_"),
-    )
+    # layout must never be reused across rounds; the corpus fingerprint
+    # in the path does the same for regenerated testdata
+    out = _cache_dir("terrier_spark_gate_v4", sf_dir)
     marker = os.path.join(out, "manifest.json")
     rebuild = True
     if os.path.exists(marker):
@@ -392,15 +425,12 @@ _FIELD_INDEX_CACHE: dict[str, IndexStore] = {}
 
 
 def gate_field_index(spark: SparkSession, sf_dir: str) -> IndexStore:
-    key = os.path.abspath(sf_dir)
+    key = _cache_key(sf_dir)
     store = _FIELD_INDEX_CACHE.get(key)
     if store is not None:
         return store
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "terrier_spark_gate_field_v2",  # v2: per-field lexicon/block stats
-        key.strip("/").replace("/", "_"),
-    )
+    # v2: per-field lexicon/block stats
+    out = _cache_dir("terrier_spark_gate_field_v2", sf_dir)
     if not os.path.exists(os.path.join(out, "manifest.json")):
         corpus = load_documents_corpus(spark, sf_dir)
         cfg = IndexConfig(pipeline=SQL_SAFE_PIPELINE,
@@ -757,13 +787,10 @@ def q_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single build, so the oracle is the plain BM25 SQL."""
     from terrier_spark.index.merge import merge_indexes
 
-    key = os.path.abspath(sf_dir)
+    key = _cache_key(sf_dir)
     store = _MERGED_CACHE.get(key)
     if store is None:
-        root = os.path.join(
-            tempfile.gettempdir(), "terrier_spark_gate_merged_v1",
-            key.strip("/").replace("/", "_"),
-        )
+        root = _cache_dir("terrier_spark_gate_merged_v1", sf_dir)
         out = os.path.join(root, "merged")
         if not os.path.exists(os.path.join(out, "manifest.json")):
             corpus = load_documents_corpus(spark, sf_dir)
@@ -789,13 +816,10 @@ def q_incremental_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, so the oracle is the plain BM25 SQL."""
     from terrier_spark.streaming.incremental import IncrementalIndexer
 
-    key = os.path.abspath(sf_dir)
+    key = _cache_key(sf_dir)
     store = _INCR_CACHE.get(key)
     if store is None:
-        out = os.path.join(
-            tempfile.gettempdir(), "terrier_spark_gate_incr_v1",
-            key.strip("/").replace("/", "_"),
-        )
+        out = _cache_dir("terrier_spark_gate_incr_v1", sf_dir)
         if not os.path.exists(os.path.join(out, "manifest.json")):
             corpus = load_documents_corpus(spark, sf_dir)
             idx = IncrementalIndexer(

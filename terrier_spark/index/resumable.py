@@ -129,6 +129,9 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
     fields = cfg.field_cols  # ordered (field_name, column) pairs or None
     nf = len(fields) if fields else 0
     doc_rows, meta_rows = [], []
+    # lineage hash covers (docno, content) so a membership drift that
+    # swaps equal-content rows with different docnos is still caught by
+    # the resume verification (_hash_partition must mirror this exactly)
     # term -> [docids('q'), tfs('i'), dls('i'), flat positions('i'),
     #          flat per-posting field tfs('i', n*nf)]
     acc: dict[str, list] = {}
@@ -142,6 +145,7 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
         for row in pdf.itertuples():
             content = row.content or ""
             sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            sha_acc.update(str(row.docno).encode("utf-8"))
             sha_acc.update(sha.encode())
             if fields:
                 # per-field token streams, concatenated in field order for
@@ -258,6 +262,22 @@ def _build_partition(pdfs, offset: int, cfg: IndexConfig,
     return docs, meta, blocks, sha_acc.hexdigest()
 
 
+def _hash_partition(pdfs) -> tuple[int, str]:
+    """Stream a partition's (docno, content) rows through the SAME
+    lineage hash _build_partition computes — no tokenization, so
+    verifying a cached segment costs hashing only."""
+    n = 0
+    sha_acc = hashlib.sha256()
+    for pdf in pdfs:
+        for row in pdf.itertuples():
+            content = row.content or ""
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            sha_acc.update(str(row.docno).encode("utf-8"))
+            sha_acc.update(sha.encode())
+            n += 1
+    return n, sha_acc.hexdigest()
+
+
 def build_index_resumable(
     spark: SparkSession,
     corpus: DataFrame,
@@ -266,14 +286,28 @@ def build_index_resumable(
     bucket_span: int = DEFAULT_BUCKET_SPAN,
     fail_partitions: Optional[set[int]] = None,
     skip_partitions: Optional[set[int]] = None,
+    verify_cached: Optional[bool] = None,
 ) -> IndexStore:
     """Segmented, resumable build.
+
+    `verify_cached` re-hashes the input of partitions whose segments are
+    already committed and compares against the recorded lineage
+    (sha256_agg over (docno, content)): a mismatch means the partition's
+    MEMBERSHIP drifted since the original run — the stale segment is
+    deleted and rebuilt in a second pass over the same (persisted, hence
+    pinned) partitioning, so cached and rebuilt segments can never mix
+    inconsistent docid assignments.  Default None = auto: ON when
+    cfg.sort_docids_by is set, because repartitionByRange samples its
+    boundaries per application and is NOT stable across restarts; OFF
+    for plain file-scan inputs, whose partitioning is deterministic.
 
     Test hooks: `fail_partitions` raises inside those partitions before
     their segment commit (exercises the crash path); `skip_partitions`
     deterministically leaves those segments unbuilt (a reproducible
     "killed after partial completion" state for resume tests)."""
     cfg = cfg or IndexConfig()
+    if verify_cached is None:
+        verify_cached = bool(cfg.sort_docids_by)
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     if cfg.sort_docids_by:
@@ -294,6 +328,16 @@ def build_index_resumable(
     fail = fail_partitions or set()
     skip = skip_partitions or set()
     block_cfg = cfg
+    # prior lineage for cached-segment verification (driver-side read,
+    # broadcast via the closure — one small dict)
+    prior_lineage: dict[int, str] = {}
+    ckpt_path_pre = os.path.join(out_dir, "checkpoints", "partitions.json")
+    if verify_cached and os.path.exists(ckpt_path_pre):
+        with open(ckpt_path_pre) as fh:
+            prior_lineage = {
+                int(r["partition_id"]): r.get("sha256_agg") or ""
+                for r in json.load(fh)
+            }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -302,6 +346,19 @@ def build_index_resumable(
         n, offset = plan.get(pid, (0, 0))
         seg_dir = os.path.join(seg_root, f"seg_{pid:05d}")
         if os.path.exists(os.path.join(seg_dir, "_SUCCESS")):
+            if verify_cached and prior_lineage.get(pid):
+                n_seen, sha_seen = _hash_partition(batches)
+                if sha_seen != prior_lineage[pid] or n_seen != n:
+                    # membership drifted since the committed run: drop
+                    # the stale segment; the driver reruns the build
+                    # pass (same pinned partitioning) to rebuild it
+                    shutil.rmtree(seg_dir, ignore_errors=True)
+                    yield pd.DataFrame(
+                        [(pid, n, offset, sha_seen, "stale")],
+                        columns=["partition_id", "n_docs", "docid_offset",
+                                 "sha256_agg", "status"],
+                    )
+                    return
             yield pd.DataFrame(
                 [(pid, n, offset, "", "cached")],
                 columns=["partition_id", "n_docs", "docid_offset",
@@ -333,6 +390,20 @@ def build_index_resumable(
         )
 
     ckpt = corpus.mapInPandas(run, schema=CHECKPOINT_SCHEMA).toPandas()
+    stale = ckpt[ckpt["status"] == "stale"]
+    if len(stale):
+        # the verification pass evicted drifted segments; rebuild them
+        # with a second pass over the SAME persisted partitioning (the
+        # evicted pids no longer have _SUCCESS, so they take the build
+        # path; everything else is served cached)
+        import logging
+
+        logging.getLogger("terrier_spark.resumable").warning(
+            "resume verification: %d cached segment(s) did not match the "
+            "resumed input (partition membership drifted) — rebuilding %s",
+            len(stale), sorted(stale["partition_id"].tolist()),
+        )
+        ckpt = corpus.mapInPandas(run, schema=CHECKPOINT_SCHEMA).toPandas()
     ckpt = ckpt.sort_values("partition_id")
     ckpt_path = os.path.join(out_dir, "checkpoints", "partitions.json")
     prior = {}

@@ -13,10 +13,11 @@ them:
   carry literal or hex strings — extractable with `zlib` + a small
   tokenizer over the content stream.
 
-The legacy OLE2 binaries (.doc/.xls/.ppt) genuinely need a compound-
-file + per-format record parser; those still raise NotImplementedError
-unless the caller supplies a parser (mirroring the reference's
-POI dependency).
+The legacy OLE2 binaries (.doc/.xls/.ppt) need a compound-file +
+per-format record parser; `text/olevba.py` provides pure-stdlib ones
+(MS-CFB + MS-DOC piece table / MS-XLS BIFF8 / MS-PPT text atoms), and
+DEFAULT_BINARY_PARSERS routes those extensions to them (the reference
+uses POI for the same job).
 
 Each parser is `bytes -> str` (the `binary_parsers` contract of
 `index/corpus.py::from_directory`) and is registered as the default for
@@ -166,7 +167,7 @@ def _pdf_literal(buf: bytes, i: int) -> tuple[str, int]:
     return "".join(out), i
 
 
-_TOKEN_RE = re.compile(rb"<[0-9A-Fa-f\s]*>|\(|\)|\[|\]|[A-Za-z']['\"]?|\S")
+_PDF_OP_RE = re.compile(rb"[A-Za-z'\"]+")
 
 
 def _pdf_content_text(content: bytes) -> list[str]:
@@ -203,7 +204,9 @@ def _pdf_content_text(content: bytes) -> list[str]:
             i = j + 1
             continue
         if ch.isalpha() or ch == b"'" or ch == b'"':
-            m = re.match(rb"[A-Za-z'\"]+", content[i:])
+            # pos-anchored match — slicing content[i:] per operator would
+            # copy the stream tail and make extraction O(n^2)
+            m = _PDF_OP_RE.match(content, i)
             op = m.group(0)
             i += len(op)
             if op in (b"Tj", b"TJ", b"'", b'"'):

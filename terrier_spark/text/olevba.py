@@ -210,12 +210,17 @@ def _xl_unicode_string(data: bytes, off: int) -> tuple:
 
 
 def _rk_value(rk: int) -> float:
-    val = (rk >> 2) / 100.0 if rk & 0x01 else rk >> 2
-    if not (rk & 0x02):
-        # top 30 bits are the high bits of an IEEE double
-        val = struct.unpack("<d", struct.pack("<Q", (rk & ~0x03) << 32))[0]
-        if rk & 0x01:
-            val /= 100.0
+    if rk & 0x02:
+        # fInt: the top 30 bits are a SIGNED integer — sign-extend, or a
+        # negative cell (e.g. -1 = 0xFFFFFFFE|flags) decodes as ~10^9
+        val = rk >> 2
+        if val & 0x20000000:
+            val -= 0x40000000
+        return val / 100.0 if rk & 0x01 else float(val)
+    # top 30 bits are the high bits of an IEEE double
+    val = struct.unpack("<d", struct.pack("<Q", (rk & ~0x03) << 32))[0]
+    if rk & 0x01:
+        val /= 100.0
     return val
 
 

@@ -230,3 +230,20 @@ def test_directory_crawl_routes_legacy_formats(spark, tmp_path):
     assert "alpha beta" in rows["xls"]
     assert "slide title" in rows["ppt"]
     assert len(rows) == 3  # broken.doc skipped, job alive
+
+
+def test_rk_value_sign_extension():
+    from terrier_spark.text.olevba import _rk_value
+
+    # fInt: 30-bit SIGNED integer in the top 30 bits
+    assert _rk_value((42 << 2) | 0x02) == 42.0
+    # -1 encodes as all-ones in the top 30 bits
+    assert _rk_value((0xFFFFFFFF << 2 & 0xFFFFFFFF) | 0x02) == -1.0
+    assert _rk_value(((-12345 & 0x3FFFFFFF) << 2) | 0x02) == -12345.0
+    # fInt + div100
+    assert _rk_value(((-250 & 0x3FFFFFFF) << 2) | 0x03) == -2.5
+    # IEEE-double branch (unchanged): 2.5 -> high 30 bits of the double
+    import struct as _s
+
+    bits = _s.unpack("<Q", _s.pack("<d", -2.5))[0] >> 32
+    assert _rk_value(bits & ~0x03) == -2.5

@@ -261,3 +261,42 @@ def test_docid_reordering_segmented(spark, corpus, tmp_path):
         )
 
     assert by_docno(sorted_store) == by_docno(plain_store)
+
+
+def test_verify_cached_detects_drift(spark, corpus, tmp_path):
+    """A cached segment whose recorded lineage does not match the resumed
+    input (simulated membership drift) must be evicted and rebuilt, and
+    the resumed index must equal an uninterrupted build's."""
+    ok = str(tmp_path / "vok")
+    out = str(tmp_path / "vidx")
+    full = build_index_resumable(spark, corpus, ok, bucket_span=128)
+    build_index_resumable(spark, corpus, out, bucket_span=128)
+    ckpt_path = os.path.join(out, "checkpoints", "partitions.json")
+    with open(ckpt_path) as fh:
+        rows = json.load(fh)
+    # tamper one partition's recorded lineage -> resume sees a mismatch
+    victim = next(r for r in rows if int(r["n_docs"]) > 0)
+    victim_pid = int(victim["partition_id"])
+    victim["sha256_agg"] = "0" * 64
+    with open(ckpt_path, "w") as fh:
+        json.dump(rows, fh)
+    resumed = build_index_resumable(spark, corpus, out, bucket_span=128,
+                                    verify_cached=True)
+    with open(ckpt_path) as fh:
+        rows2 = json.load(fh)
+    by_pid = {int(r["partition_id"]): r["status"] for r in rows2}
+    assert by_pid[victim_pid] == "built"  # evicted + rebuilt
+    assert sum(1 for s in by_pid.values() if s == "cached") == len(rows) - 1
+    assert table_snapshot(spark, resumed) == table_snapshot(spark, full)
+
+
+def test_verify_cached_clean_resume_stays_cached(spark, corpus, tmp_path):
+    """With verification ON and an unchanged input, every committed
+    segment must still be served from cache (hash match, no rebuild)."""
+    out = str(tmp_path / "vclean")
+    build_index_resumable(spark, corpus, out, bucket_span=128)
+    build_index_resumable(spark, corpus, out, bucket_span=128,
+                          verify_cached=True)
+    with open(os.path.join(out, "checkpoints", "partitions.json")) as fh:
+        rows = json.load(fh)
+    assert all(r["status"] == "cached" for r in rows)

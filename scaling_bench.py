@@ -10,6 +10,15 @@ Usage:
 The corpus is the sf0.1 documents table replicated REPLICAS x with
 distinct docnos (deterministic; ~40k docs) so per-doc compute dominates
 fixed session/job overhead.
+
+QUERY-side scaling (SCALING_PHASE=queries): the driver testdata's
+29-term vocabulary makes query scaling unmeasurable (every term matches
+~every doc; an 8M-doc attempt OOMed — BASELINE.md), so this phase
+builds ONE compacted index over the synthetic Zipf corpus
+(synth_zipf_corpus: 50k-term Zipf s=1 vocabulary, realistic idf
+spread), then runs the 900-query warm batch against it at both
+parallelism levels in pinned local-cluster workers and reports
+warm-throughput scaling efficiency to BENCH_SCALING_QUERIES.json.
 """
 
 from __future__ import annotations
@@ -174,13 +183,197 @@ def worker(cpus: int) -> None:
         spark.stop()
 
 
+def make_zipf_queries(vocab_size: int, n_per_bucket: int = 100,
+                      seed: int = 42):
+    """900 queries (9 length buckets x 100) whose terms are Zipf-sampled
+    ranks re-encoded with the corpus token scheme — the realistic mix of
+    hot and tail terms real query logs show."""
+    import numpy as np
+
+    from terrier_spark.index.corpus import zipf_token
+
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    cum = np.cumsum(1.0 / ranks)
+    cum /= cum[-1]
+    rng = np.random.default_rng(seed)
+    queries = []
+    qid = 0
+    for length in range(2, 11):
+        for _ in range(n_per_bucket):
+            rs = np.searchsorted(cum, rng.random(length)) + 1
+            queries.append((str(qid), " ".join(zipf_token(int(r)) for r in rs)))
+            qid += 1
+    return queries
+
+
+def query_worker(cpus: int) -> None:
+    """One parallelism level of the QUERY-side scaling run: open the
+    PREBUILT index (built once by the parent — query scaling must not
+    conflate build scaling) and run the 900-query batch, cold + best-of
+    reps warm."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    index_dir = os.environ["SCALING_INDEX_DIR"]
+    vocab_size = int(os.environ.get("SCALING_ZIPF_VOCAB", "50000"))
+    reps = int(os.environ.get("SCALING_MEAS_REPS", "3"))
+
+    from pyspark.sql import SparkSession
+
+    from terrier_spark.config import QueryConfig
+    from terrier_spark.index.store import IndexStore
+    from terrier_spark.query.search import search
+
+    n_exec = max(cpus // 4, 1)
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    os.environ["PYTHONPATH"] = repo_root + ":" + os.environ.get("PYTHONPATH", "")
+    exec_mb = int(os.environ.get("SCALING_EXECUTOR_MB", "14336"))
+    spark = (
+        SparkSession.builder
+        .master(f"local-cluster[{n_exec},4,{exec_mb}]")
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
+        .appName(f"qscaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        store = IndexStore(index_dir)
+        queries = make_zipf_queries(vocab_size)
+        qcfg = QueryConfig(k=1000, prune=True)
+        times = []
+        n_rows = 0
+        for r in range(1 + reps):
+            t0 = time.time()
+            n_rows = search(spark, store, queries, qcfg).count()
+            dt = time.time() - t0
+            if r > 0:  # first batch is the cold one
+                times.append(dt)
+        best = min(times)
+        print(
+            "WORKER_RESULT "
+            + json.dumps(
+                {
+                    "cpus": cpus,
+                    "n_queries": len(queries),
+                    "warm_query_sec": round(best, 3),
+                    "warm_queries_per_sec": round(len(queries) / best, 2),
+                    "warm_times": [round(t, 3) for t in times],
+                    "result_rows": n_rows,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+def main_queries() -> None:
+    """Parent for SCALING_PHASE=queries: build the Zipf index once, then
+    run pinned query workers at both levels."""
+    import shutil as _shutil
+    import subprocess as _sp
+    import tempfile as _tf
+
+    n_docs = int(os.environ.get("SCALING_ZIPF_DOCS", "500000"))
+    vocab = int(os.environ.get("SCALING_ZIPF_VOCAB", "50000"))
+    reps = int(os.environ.get("SCALING_MEAS_REPS", "3"))
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = _tf.mkdtemp(prefix="qscaling_", dir=shm)
+    index_dir = os.path.join(root, "zipf_index")
+    try:
+        from terrier_spark.config import IndexConfig
+        from terrier_spark.index.corpus import synth_zipf_corpus
+        from terrier_spark.index.resumable import (
+            build_index_resumable,
+            compact_postings,
+        )
+        from terrier_spark.session import get_spark
+
+        spark = get_spark("qscaling-build", cpus=os.cpu_count(),
+                          shuffle_partitions=os.cpu_count())
+        corpus = synth_zipf_corpus(spark, n_docs, vocab_size=vocab)
+        t0 = time.time()
+        store = build_index_resumable(spark, corpus, index_dir,
+                                      IndexConfig(), bucket_span=65536)
+        store = compact_postings(spark, store)
+        build_sec = round(time.time() - t0, 3)
+        n_built = store.stats["num_docs"]
+        spark.stop()
+
+        results = {}
+        for cpus in LEVELS:
+            env = dict(os.environ, SCALING_INDEX_DIR=index_dir)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--worker-queries", "--cpus", str(cpus)]
+            if PIN_CPUS:
+                factor = float(os.environ.get("SCALING_PIN_FACTOR", "1.5"))
+                pin = min(int(cpus * factor), os.cpu_count())
+                cmd = ["taskset", "-c", f"0-{pin - 1}"] + cmd
+            wk_timeout = int(os.environ.get("SCALING_WORKER_TIMEOUT", "3600"))
+            proc = _sp.run(cmd, capture_output=True, text=True,
+                           timeout=wk_timeout, env=env)
+            for line in proc.stdout.splitlines():
+                if line.startswith("WORKER_RESULT "):
+                    results[cpus] = json.loads(line[len("WORKER_RESULT "):])
+            if cpus not in results:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise SystemExit(f"query worker {cpus} produced no result")
+
+        lo, hi = min(LEVELS), max(LEVELS)
+        ratio = hi / lo
+        speedup = (
+            results[lo]["warm_query_sec"] / results[hi]["warm_query_sec"]
+        )
+        protocol = {
+            "phase": "queries",
+            "zipf_docs": n_docs,
+            "zipf_vocab": vocab,
+            "levels": LEVELS,
+            "meas_reps": reps,
+            "mode": "executors",
+            "cpu_pinned": PIN_CPUS,
+            "index_build_sec_once": build_sec,
+            "num_docs": n_built,
+        }
+        is_protocol = (
+            n_docs >= 500000 and vocab >= 50000
+            and sorted(LEVELS) == [4, 16] and reps >= 3 and PIN_CPUS
+        )
+        report = {
+            "levels": results,
+            "parallelism_ratio": ratio,
+            "warm_query_speedup": round(speedup, 3),
+            "query_scaling_efficiency": round(speedup / ratio, 3),
+            "protocol": protocol,
+            "protocol_compliant": is_protocol,
+        }
+        print(json.dumps(report, indent=2))
+        out_file = (
+            "BENCH_SCALING_QUERIES.json" if is_protocol
+            else "BENCH_SCALING_QUERIES_adhoc.json"
+        )
+        with open(out_file, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {out_file}")
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--worker-queries", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
+    if args.worker_queries:
+        query_worker(args.cpus)
+        return
     if args.worker:
         worker(args.cpus)
+        return
+    if os.environ.get("SCALING_PHASE") == "queries":
+        main_queries()
         return
 
     results = {}

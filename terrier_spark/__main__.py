@@ -5,13 +5,19 @@
     spark-submit --py-files terrier_spark.zip -m ... OR
     python -m terrier_spark index   --input docs.parquet --out /idx
     python -m terrier_spark search  --index /idx --queries topics.txt \\
-                                    --k 10 [--model BM25] [--expand]
+                                    --k 10 [--model BM25] [--expand] \\
+                                    [--topics-format trec]
+    python -m terrier_spark interactive --index /idx
     python -m terrier_spark merge   --a /idx1 --b /idx2 --out /merged
     python -m terrier_spark compact --index /idx
-    python -m terrier_spark eval    --run run.txt --qrels qrels.txt
+    python -m terrier_spark eval    --run run.txt --qrels qrels.txt \\
+                                    [--measure namedpage]
 
-Query file format: SingleLineTRECQuery (`qid term term ...`,
-applications/batchquerying/SingleLineTRECQuery.java:93-156).
+Query file formats: SingleLineTRECQuery (`qid term term ...`,
+applications/batchquerying/SingleLineTRECQuery.java:93-156) and tagged
+TREC topics (`<top><num><title>...`, batchquerying/TRECQuery.java via
+query/topics.py).  `interactive` is the InteractiveQuerying loop
+(applications/InteractiveQuerying.java).
 """
 
 from __future__ import annotations
@@ -87,12 +93,15 @@ def cmd_search(args) -> None:
 
     spark = _spark()
     store = IndexStore(args.index)
-    queries = []
-    with open(args.queries) as fh:
-        for line in fh:
-            parts = line.strip().split(None, 1)
-            if len(parts) == 2:
-                queries.append((parts[0], parts[1]))
+    if args.topics_format == "trec":
+        from terrier_spark.query.topics import load_trec_topics
+
+        fields = tuple(args.topics_fields.split(","))
+        queries = load_trec_topics(args.queries, fields=fields)
+    else:
+        from terrier_spark.query.topics import load_single_line_topics
+
+        queries = load_single_line_topics(args.queries)
     qcfg = QueryConfig(k=args.k, model=args.model,
                        ignore_low_idf=not args.keep_low_idf)
     if args.expand:
@@ -125,6 +134,47 @@ def cmd_search(args) -> None:
         lines = to_trec_run(res, tag=args.tag).collect()
     for row in lines:
         print(row["line"])
+
+
+def cmd_interactive(args) -> None:
+    """Interactive query loop (org/terrier/applications/
+    InteractiveQuerying.java): read a query per line from stdin, print
+    the decorated top-k.  Reuses the memoized store reader + the
+    single-query latency path, so repeat queries are warm."""
+    import sys
+    import time
+
+    from terrier_spark.config import QueryConfig
+    from terrier_spark.index.store import IndexStore
+    from terrier_spark.query.search import search
+
+    spark = _spark()
+    store = IndexStore(args.index)
+    qcfg = QueryConfig(k=args.k, model=args.model,
+                       ignore_low_idf=not args.keep_low_idf)
+    out = sys.stdout
+    out.write("terrier_spark interactive querying. Type a query, "
+              "'quit' to exit.\n")
+    out.flush()
+    qid = 0
+    for line in sys.stdin:
+        query = line.strip()
+        if not query:
+            continue
+        if query.lower() in ("quit", "exit"):
+            break
+        qid += 1
+        t0 = time.time()
+        rows = (
+            search(spark, store, [(str(qid), query)], qcfg, with_meta=True)
+            .orderBy("rank")
+            .collect()
+        )
+        out.write(f"Displaying 1-{len(rows)} results "
+                  f"({time.time() - t0:.3f} seconds):\n")
+        for r in rows:
+            out.write(f"{r['rank']} {r['docno']} {r['score']:.6f}\n")
+        out.flush()
 
 
 def cmd_merge(args) -> None:
@@ -161,8 +211,15 @@ def cmd_eval(args) -> None:
     results = pd.DataFrame(rows, columns=["qid", "docno", "rank"])
     with open(args.qrels) as fh:
         qrels = parse_qrels(fh)
-    out = evaluate_run(results, qrels)
-    out.pop("AP_per_query", None)
+    if args.measure == "namedpage":
+        from terrier_spark.query.evaluation import evaluate_named_page
+
+        out = evaluate_named_page(results, qrels)
+        out.pop("recip_rank_per_query", None)
+        out.pop("first_rank_per_query", None)
+    else:
+        out = evaluate_run(results, qrels)
+        out.pop("AP_per_query", None)
     print(json.dumps(out, indent=2))
 
 
@@ -203,7 +260,21 @@ def main(argv=None) -> None:
     p.add_argument("--output-format", default="docno",
                    choices=["docno", "docid", "raw"])
     p.add_argument("--keep-low-idf", action="store_true")
+    p.add_argument("--topics-format", default="singleline",
+                   choices=["singleline", "trec"],
+                   help="singleline: `qid term term ...` per line; "
+                        "trec: tagged <top><num><title> topic files")
+    p.add_argument("--topics-fields", default="title",
+                   help="comma list of TREC topic tags forming the query "
+                        "(title[,desc[,narr]])")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("interactive")
+    p.add_argument("--index", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--model", default="BM25")
+    p.add_argument("--keep-low-idf", action="store_true")
+    p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("merge")
     p.add_argument("--a", required=True)
@@ -218,6 +289,8 @@ def main(argv=None) -> None:
     p = sub.add_parser("eval")
     p.add_argument("--run", required=True)
     p.add_argument("--qrels", required=True)
+    p.add_argument("--measure", default="adhoc",
+                   choices=["adhoc", "namedpage"])
     p.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)

@@ -14,6 +14,7 @@ has no natural docno we derive `repo || '/' || path @ commit`.
 from __future__ import annotations
 
 import hashlib
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -395,3 +396,71 @@ def synth_source_corpus(spark: SparkSession, n_docs: int = 2000,
         rows, schema="repo string, path string, commit string, lang string, content string"
     )
     return from_source_code_table(df)
+
+
+def zipf_token(rank: int) -> str:
+    """Deterministic pure-alpha token for a vocabulary rank, shaped to
+    survive the English tokeniser's validity rules (no digits, and no
+    two adjacent equal letters — letter = alphabet[(2*digit + pos) % 26]
+    makes adjacency require 2*(d2-d1) ≡ -1 (mod 26), impossible by
+    parity — so the max-consecutive-letters rule can never fire)."""
+    a = "abcdefghijklmnopqrstuvwxyz"
+    return "q" + "".join(
+        a[(2 * int(d) + i) % 26] for i, d in enumerate(str(rank))
+    )
+
+
+def synth_zipf_corpus(spark: SparkSession, n_docs: int,
+                      vocab_size: int = 50_000, seed: int = 42,
+                      avg_len: int = 120,
+                      partitions: Optional[int] = None) -> DataFrame:
+    """DISTRIBUTED deterministic corpus with a Zipf(s=1) vocabulary —
+    the realistic term-frequency profile the 29-term driver testdata
+    cannot provide (every term there matches ~every document, which
+    makes query-side scaling unmeasurable and OOM-prone).  Content is a
+    pure function of (seed, docid): generation parallelises over
+    spark.range with no driver-side materialisation, so it scales to
+    millions of documents.
+
+    Term ranks are drawn by inverse-CDF sampling against the Zipf
+    cumulative weights (p(r) ∝ 1/r, r = 1..vocab_size); document length
+    is lognormal around avg_len.  Rank 1 appears in nearly every
+    document (a stopword-like hot term), mid ranks in a few percent,
+    tail ranks in a handful — a real idf spread."""
+    import numpy as np
+    import pandas as pd
+
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    cum = np.cumsum(1.0 / ranks)
+    cum /= cum[-1]
+    tokens = np.array([zipf_token(r) for r in range(1, vocab_size + 1)],
+                      dtype=object)
+    exts = list(_EXTS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for docid in pdf["id"]:
+                d = int(docid)
+                rng = np.random.default_rng(seed * 1_000_003 + d)
+                length = max(8, int(rng.lognormal(np.log(avg_len), 0.6)))
+                rs = np.searchsorted(cum, rng.random(length))
+                content = " ".join(tokens[rs])
+                ext = exts[d % len(exts)]
+                rows.append(
+                    (f"zipf{d}", f"org{d % 13}/repo{d % 101}",
+                     f"src/d{d % 64}/f{d}.{ext}",
+                     hashlib.sha1(f"zipf:{seed}:{d}".encode()).hexdigest()[:12],
+                     _EXTS[ext], content)
+                )
+            yield pd.DataFrame(
+                rows, columns=["docno", "repo", "path", "commit", "lang",
+                               "content"],
+            )
+
+    par = partitions or spark.sparkContext.defaultParallelism * 2
+    return spark.range(n_docs).repartition(par).mapInPandas(
+        gen,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )

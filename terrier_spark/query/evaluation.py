@@ -80,6 +80,55 @@ def parse_qrels(lines: Iterable[str]) -> Dict[str, set]:
     return rel
 
 
+def evaluate_named_page(
+    results: pd.DataFrame,
+    qrels: Mapping[str, set],
+    doc_col: str = "docno",
+    cutoff: int = 50,
+) -> Dict[str, object]:
+    """Named/home-page finding evaluation
+    (org/terrier/evaluation/NamedPageEvaluation.java:75-170): the
+    measure is the average reciprocal rank of the FIRST relevant
+    document per query, counted only when it appears within the top
+    `cutoff` (50) results; plus the fraction of queries answered within
+    ranks 1/5/10/20/50 and the fraction not answered in the top 50.
+    Queries without judgements are skipped, as the reference does."""
+    recip: Dict[str, float] = {}
+    first_rank: Dict[str, int] = {}
+    n_q = 0
+    for qid, grp in results.groupby("qid"):
+        relevant = qrels.get(str(qid))
+        if not relevant:
+            continue
+        n_q += 1
+        rank_of_first = 0  # 0 = not found (reference sentinel)
+        for i, d in enumerate(grp.sort_values("rank")[doc_col]):
+            if str(d) in relevant:
+                rank_of_first = i + 1  # reference ranks are 1-based here
+                break
+        first_rank[str(qid)] = rank_of_first
+        if 0 < rank_of_first <= cutoff:
+            recip[str(qid)] = 1.0 / rank_of_first
+    if n_q == 0:
+        return {"ARR": 0.0, "recip_rank_per_query": {}, "num_queries": 0,
+                "in_top": {}, "not_in_top50": 0.0}
+    in_top = {
+        k: sum(1 for r in first_rank.values() if 0 < r <= k) / n_q
+        for k in (1, 5, 10, 20, cutoff)
+    }
+    not_found = sum(
+        1 for r in first_rank.values() if r == 0 or r > cutoff
+    ) / n_q
+    return {
+        "ARR": sum(recip.values()) / n_q,
+        "recip_rank_per_query": recip,
+        "first_rank_per_query": first_rank,
+        "num_queries": n_q,
+        "in_top": in_top,
+        "not_in_top50": not_found,
+    }
+
+
 def evaluate_run(
     results: pd.DataFrame,
     qrels: Mapping[str, set],

@@ -225,13 +225,18 @@ def query_worker(cpus: int) -> None:
     n_exec = max(cpus // 4, 1)
     repo_root = os.path.dirname(os.path.abspath(__file__))
     os.environ["PYTHONPATH"] = repo_root + ":" + os.environ.get("PYTHONPATH", "")
-    exec_mb = int(os.environ.get("SCALING_EXECUTOR_MB", "14336"))
+    exec_mb = int(os.environ.get("SCALING_EXECUTOR_MB", "20480"))
     spark = (
         SparkSession.builder
         .master(f"local-cluster[{n_exec},4,{exec_mb}]")
         .config("spark.executorEnv.PYTHONPATH", repo_root)
         .appName(f"qscaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # FIXED partition count at both levels: (a) comparing levels is
+        # only fair when the plan does identical work; (b) partitions =
+        # cpus put ~50M agg cells in each of 4 tasks at the low level
+        # and OOMed a 20G executor heap (measured) — 64 bounds per-task
+        # state at any level, and cores still cap concurrency
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
@@ -241,7 +246,17 @@ def query_worker(cpus: int) -> None:
     try:
         store = IndexStore(index_dir)
         queries = make_zipf_queries(vocab_size)
-        qcfg = QueryConfig(k=1000, prune=True)
+        # the score-cell chunking cap bounds PER-JOB aggregation state,
+        # which lives in the executors: size it to the EXECUTOR heap,
+        # not the whole box (the default 1e9 assumes local[32] with the
+        # full machine's memory; a 4-core/20G executor OOMs there —
+        # measured).  ~40-64 bytes/cell of agg state, keep well under
+        # heap at the LOW level where one executor holds everything.
+        cells_cap = float(os.environ.get(
+            "SCALING_CELLS_CAP", str(int(exec_mb * 5e3))
+        ))  # 20480 MB -> ~1e8 cells
+        qcfg = QueryConfig(k=1000, prune=True,
+                           batch_max_score_cells=cells_cap)
         times = []
         n_rows = 0
         for r in range(1 + reps):
@@ -317,8 +332,16 @@ def main_queries() -> None:
                 if line.startswith("WORKER_RESULT "):
                     results[cpus] = json.loads(line[len("WORKER_RESULT "):])
             if cpus not in results:
+                # full logs to files — the real traceback is usually
+                # buried under progress-bar output
+                for tag, data in (("out", proc.stdout), ("err", proc.stderr)):
+                    with open(f"/tmp/qworker_{cpus}.{tag}", "w") as fh:
+                        fh.write(data)
                 sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-                raise SystemExit(f"query worker {cpus} produced no result")
+                raise SystemExit(
+                    f"query worker {cpus} produced no result "
+                    f"(full logs: /tmp/qworker_{cpus}.out/.err)"
+                )
 
         lo, hi = min(LEVELS), max(LEVELS)
         ratio = hi / lo

@@ -9,31 +9,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
-# Function-word marker lexicons (public high-frequency closed-class
-# words) for the 11 languages the engine also ships stemmers for.
-# `quality_scores` keeps using the "en" entry, so it stays fixed.
-LANG_STOPWORDS = {
-    "en": ("the", "and", "of", "to", "in", "is", "it", "for", "with", "that"),
-    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
-    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
-    "fr": ("le", "les", "des", "et", "une", "du", "est", "que", "pour",
-           "dans", "qui", "pas"),
-    "it": ("il", "di", "che", "per", "non", "sono", "con", "della", "una",
-           "anche", "come", "gli"),
-    "pt": ("o", "os", "as", "do", "da", "não", "uma", "para", "com", "mais",
-           "dos", "como"),
-    "nl": ("het", "een", "van", "dat", "op", "te", "met", "voor", "niet",
-           "zijn", "aan", "ook"),
-    "sv": ("och", "att", "det", "som", "på", "är", "av", "för", "med",
-           "inte", "han", "till"),
-    "ru": ("и", "в", "не", "на", "что", "с", "как", "это", "по", "но",
-           "из", "его"),
-    "tr": ("bir", "ve", "bu", "için", "ile", "ama", "çok", "gibi", "daha",
-           "olarak", "sonra", "kadar"),
-    "fi": ("ja", "on", "ei", "että", "joka", "oli", "mutta", "hän", "se",
-           "kun", "niin", "myös"),
-}
+# Function-word marker lexicons (~100 public high-frequency closed-class
+# words per language) for the 11 languages the engine also ships
+# stemmers for — see datapipe/langwords.py.
+from terrier_spark.datapipe.langwords import FUNCTION_WORDS as LANG_STOPWORDS
+
+# `quality_scores`' stopword-ratio feature keeps its original compact
+# English list so the quality thresholds stay calibrated independently
+# of language-ID lexicon growth.
+EN_QUALITY_STOPS = (
+    "the", "and", "of", "to", "in", "is", "it", "for", "with", "that",
+)
 
 # BPE-ish subword pieces: letter runs, digit runs, or single non-space
 # symbols — a public approximation of byte-pair pretokenization
@@ -67,7 +53,7 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     toks = F.regexp_extract_all(F.lower(t), F.lit(WS_RE), 0)
     n_tokens = F.size(toks).cast("long")
     n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)).cast("long")
-    en_stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    en_stops = F.array(*[F.lit(w) for w in EN_QUALITY_STOPS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stops, x)))
     punct_ratio = F.round(
         n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6
@@ -86,12 +72,20 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+LETTER_RUN_RE = "[\\p{L}]+"
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID -> (id, lang_guess, hits).  Argmax of
-    per-language stopword hits over whitespace tokens; ties broken by
-    language code ascending; zero hits -> 'und'."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WS_RE), 0)
+    """Function-word-hit language ID -> (id, lang_guess, hits).  Argmax
+    of per-language marker-word hits over LETTER-RUN tokens (so
+    punctuation-attached words like "the," still match — \\S+ missed
+    them); ties broken by language code ascending; zero hits -> 'und'.
+    Pure Columns end to end: at 100 TB this is a scan-speed argmax over
+    11 array_contains filters, no UDF, no shuffle."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(LETTER_RUN_RE), 0
+    )
     cols = []
     for lang in sorted(LANG_STOPWORDS):
         arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])

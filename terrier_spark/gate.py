@@ -891,6 +891,31 @@ def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "qid string, ap double")
 
 
+def q_eval_namedpage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-page evaluation (NamedPageEvaluation.java) over the gate
+    BM25 run: per-query reciprocal rank of the FIRST relevant document
+    (within the top-50 cutoff; the gate run is top-20, so always
+    inside), same deterministic qrels as eval_map; 0.0 when no relevant
+    document is retrieved."""
+    from terrier_spark.query.evaluation import evaluate_named_page
+
+    run = q_bm25_topk(spark, sf_dir).toPandas()
+    qrels = {
+        qid: {
+            str(r["doc_id"])
+            for r in _all_doc_ids(spark, sf_dir)
+            if r["doc_id"] % 7 == int(qid[1:]) % 7
+        }
+        for qid, _ in GATE_QUERIES
+    }
+    res = evaluate_named_page(run, qrels, doc_col="doc_id")
+    rows = [
+        (qid, float(round(res["recip_rank_per_query"].get(qid, 0.0), 8)))
+        for qid, _ in sorted(GATE_QUERIES)
+    ]
+    return spark.createDataFrame(rows, "qid string, rr double")
+
+
 def _all_doc_ids(spark: SparkSession, sf_dir: str):
     store = gate_index(spark, sf_dir)
     return store.docs(spark).select(
@@ -1037,6 +1062,39 @@ rtot AS (
 )
 SELECT contrib.qid, CAST(round(contrib.s / rtot.r, 8) AS DOUBLE) AS ap
 FROM contrib JOIN rtot ON rtot.qid = contrib.qid
+"""
+
+
+def _eval_namedpage_sql(k: int = GATE_K, cutoff: int = 50) -> str:
+    """Per-query reciprocal rank of the first relevant retrieved doc
+    (NamedPageEvaluation.java: counted only within the top-`cutoff`,
+    1-based ranks), same deterministic qrels as eval_map; 0.0 when no
+    relevant doc is retrieved."""
+    return f"""
+WITH {TOKS_CTE},
+q(qid, term) AS (VALUES {_query_values()}),
+{_BM25_SCORED_CTES},
+run AS (
+  SELECT qid, doc_id,
+         (row_number() OVER (
+            PARTITION BY qid
+            ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id) - 1)
+           AS rank
+  FROM scored
+  QUALIFY rank < {k}
+),
+firstrel AS (
+  SELECT qid, MIN(rank) + 1 AS r1
+  FROM run
+  WHERE doc_id % 7 = CAST(substr(qid, 2) AS INT) % 7
+  GROUP BY qid
+)
+SELECT q.qid,
+       CAST(round(COALESCE(
+         CASE WHEN f.r1 <= {cutoff} THEN 1.0 / f.r1 END, 0.0), 8)
+         AS DOUBLE) AS rr
+FROM (SELECT DISTINCT qid FROM q) q
+LEFT JOIN firstrel f ON f.qid = q.qid
 """
 
 
@@ -1699,6 +1757,7 @@ IR_QUERIES = {
     "fd_dfr_topk": q_fd_dfr_topk,
     "dsm_static_topk": q_dsm_static_topk,
     "eval_map": q_eval_map,
+    "eval_namedpage": q_eval_namedpage,
     "bo1_expansion_topk": q_bo1_expansion_topk,
     "merged_bm25_topk": q_merged_bm25_topk,
     "incremental_bm25_topk": q_incremental_bm25_topk,
@@ -1781,6 +1840,7 @@ WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
     "fd_dfr_topk": _dependence_sql("DFR", dependency="FD"),
     "dsm_static_topk": _dsm_static_sql(),
     "eval_map": _eval_map_sql(),
+    "eval_namedpage": _eval_namedpage_sql(),
     "bo1_expansion_topk": _bo1_expansion_sql(),
     # split-build + StructureMerger and 3-batch IncrementalIndex must be
     # indistinguishable from a one-shot build: same BM25 truth

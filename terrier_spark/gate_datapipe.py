@@ -24,6 +24,7 @@ from terrier_spark.datapipe.dedup import (
 )
 from terrier_spark.datapipe.simsearch import cosine_topk, lsh_cosine_topk
 from terrier_spark.datapipe.textstats import (
+    EN_QUALITY_STOPS,
     LANG_STOPWORDS,
     char_fingerprints,
     language_id,
@@ -610,7 +611,8 @@ FROM h
 _WS = "\\S+"
 _BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 _PUNCT = "[^A-Za-z0-9\\s]"
-_EN_STOPS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+_LETTER_RUN = "[\\p{L}]+"  # language-ID tokenization (RE2-compatible)
+_EN_STOPS = ", ".join(f"'{w}'" for w in EN_QUALITY_STOPS)
 
 _TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
@@ -802,7 +804,7 @@ def _lang_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_WS}') AS toks
+  SELECT doc_id, regexp_extract_all(lower(text), '{_LETTER_RUN}') AS toks
   FROM documents
 ),
 c AS (SELECT doc_id, {', '.join(counts)} FROM toks)

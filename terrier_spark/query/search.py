@@ -112,11 +112,21 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
     kernel = spec.kernel
     needs_fields = spec.needs_fields
 
+    # Bound the python-side frame size: a hot term's blocks joined with
+    # hundreds of qids can decode to tens of millions of rows per Arrow
+    # input batch; accumulating them into ONE pandas frame (object-dtype
+    # qids, ~50 B/row) blows up the python worker at scale.  Flush
+    # incrementally instead — Spark streams each yielded frame out as
+    # its own Arrow batch, so peak memory is O(emit_rows), not O(batch
+    # decode volume).
+    emit_rows = 1 << 21
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from terrier_spark.compression.vbyte import vbyte_decode
 
+        out_qid, out_docid, out_score = [], [], []
+        pending = 0
         for pdf in batches:
-            out_qid, out_docid, out_score = [], [], []
             for row in pdf.itertuples():
                 ids, tfs, dls = decode_scoring_block(row.block)
                 if ids.size == 0:
@@ -138,14 +148,25 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
                 out_qid.append(np.full(ids.size, row.qid, dtype=object))
                 out_docid.append(ids)
                 out_score.append(scores)
-            if out_qid:
-                yield pd.DataFrame(
-                    {
-                        "qid": np.concatenate(out_qid),
-                        "docid": np.concatenate(out_docid),
-                        "score": np.concatenate(out_score),
-                    }
-                )
+                pending += ids.size
+                if pending >= emit_rows:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_qid),
+                            "docid": np.concatenate(out_docid),
+                            "score": np.concatenate(out_score),
+                        }
+                    )
+                    out_qid, out_docid, out_score = [], [], []
+                    pending = 0
+        if out_qid:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_qid),
+                    "docid": np.concatenate(out_docid),
+                    "score": np.concatenate(out_score),
+                }
+            )
 
     return run
 

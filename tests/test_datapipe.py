@@ -475,3 +475,32 @@ def test_pii_scrub(spark):
     assert got[4]["scrubbed"] == "no personal data here"
     assert (got[5]["n_emails"], got[5]["n_ips"]) == (1, 1)
     assert got[5]["n_phones"] >= 1
+
+
+def test_language_id_hard_fixture(spark):
+    """Short, punctuation-attached, code-mixed documents — the cases the
+    original 10-word lexicons misclassified as 'und' (zero hits through
+    \\S+ tokens like "it's" / "Zeit,").  The ~100-word function-word
+    lexicons + letter-run tokenization must classify all of them."""
+    docs = [
+        (0, "I can't believe it's already done, you know?", "en"),
+        (1, "¡Hola! Yo tengo una casa muy grande.", "es"),
+        (2, "Ich habe keine Zeit, aber wir gehen morgen.", "de"),
+        (3, "Nous avons été très heureux de vous voir hier.", "fr"),
+        (4, "Ho visto qualcosa di molto bello, ogni sera!", "it"),
+        (5, "Você já tinha visto esse filme? Eu tenho certeza.", "pt"),
+        (6, "Wij hebben nooit iets gezegd, omdat het niet mag.", "nl"),
+        (7, "Vi skulle aldrig kunna göra detta utan hjälp, eller?", "sv"),
+        (8, "Мы уже были там, когда они пришли?", "ru"),
+        (9, "Bunu neden yaptığını hiç anlamadım, çünkü çok zordu.", "tr"),
+        (10, "Olemme aivan varmoja, että he tulevat ennen iltaa.", "fi"),
+        (11, "def main(): return the result of the query  # fix it", "en"),
+        (12, "zzz qqq www 12345 !!!", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    got = {r["id"]: r["lang_guess"] for r in language_id(df).collect()}
+    expected = {i: lang for i, _, lang in docs}
+    wrong = {i: (got[i], expected[i]) for i in expected if got[i] != expected[i]}
+    assert not wrong, f"misclassified: {wrong}"

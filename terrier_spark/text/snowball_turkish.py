@@ -45,12 +45,21 @@ def _harmonic_U(prev: Optional[str]) -> str:
             (True, False): "i", (True, True): "ü"}[(front, rnd)]
 
 
-def _strip(w: str, pattern: str, buffers: str = "yns") -> Optional[str]:
+def _strip(w: str, pattern: str, mode: str = "any") -> Optional[str]:
     """Try to strip one suffix described by `pattern` from w.
 
     Pattern letters: 'A' = harmonising a/e, 'U' = harmonising ı/i/u/ü,
-    'D' = d/t, '(x)' = optional buffer consonant x (valid only when a
-    vowel precedes it in the word); lowercase letters match literally.
+    'D' = d/t, '(x)' = optional buffer letter x; lowercase letters match
+    literally.  Buffer validity is two-sided, per the published rules
+    ("the y/n/s consonants are only present after vowels", and the U
+    connector only after consonants): when the buffer is PRESENT the
+    stem must end the licensing way, and when it is ABSENT the stem
+    must end the opposite way — otherwise bare ``lA`` would strip a
+    dative ``okul+a`` as instrumental ``oku+la``.
+
+    `mode` selects which forms are eligible: "buffered" tries only the
+    buffer-present form (and plain patterns), "bare" only the
+    buffer-absent form of optional patterns, "any" prefers buffered.
     Returns the stem or None.  Harmony is checked against the last
     vowel of the REMAINING stem, per the published algorithm.
     """
@@ -59,14 +68,25 @@ def _strip(w: str, pattern: str, buffers: str = "yns") -> Optional[str]:
         close = pattern.index(")")
         buf = pattern[1:close]
         rest = pattern[close + 1:]
-        got = _strip(w, buf + rest, buffers)
-        if got is not None and got:
-            # consonant buffers (y/n/s) attach after a vowel; the vowel
-            # connector (U) attaches after a consonant
-            want_vowel_before = buf != "U"
-            if (got[-1] in _TR_VOWELS) == want_vowel_before:
-                return got
-        return _strip(w, rest, buffers)
+        if mode in ("any", "buffered"):
+            got = _strip(w, buf + rest)
+            if got is not None and got:
+                # consonant buffers (y/n/s) attach after a vowel; the
+                # vowel connector (U) attaches after a consonant
+                want_vowel_before = buf != "U"
+                if (got[-1] in _TR_VOWELS) == want_vowel_before:
+                    return got
+        if mode in ("any", "bare"):
+            got = _strip(w, rest)
+            if got is not None and got:
+                # complementary side: an absent buffer implies the stem
+                # ends the other way
+                want_vowel_before = buf == "U"
+                if (got[-1] in _TR_VOWELS) == want_vowel_before:
+                    return got
+        return None
+    if mode == "bare":
+        return None  # plain patterns are fully tried in the buffered pass
 
     n = len(pattern)
     if len(w) <= n:
@@ -132,29 +152,41 @@ def snowball_tr_stem(word: str) -> str:
             w = got
             break
 
-    # noun suffixes: case -> possessive -> plural, one strip per stage
+    # noun suffixes: case -> possessive -> plural, one strip per stage.
+    # Each stage runs two passes: buffer-present forms first (they bind
+    # tighter — ``arabası`` is araba+sı, never arabas+ı), bare forms
+    # second.  The case pass additionally tries the buffered possessive
+    # ``sU`` (a vowel-final stem followed by harmonic sU is always the
+    # possessive), which consumes the possessive stage when it fires.
     stage = 0
     while stage < 3 and sum(c in _TR_VOWELS for c in w) >= 2:
         stages = (_TR_CASE, _TR_POSS, _TR_PLURAL)
         hit = None
-        for pat in stages[stage]:
-            got = _strip(w, pat)
-            if got is None or not any(c in _TR_VOWELS for c in got):
-                continue
-            if pat == "ki" and not got.endswith(
-                ("da", "de", "ta", "te")
-            ):
-                continue
-            hit = (pat, got)
-            break
+        for mode in ("buffered", "bare"):
+            pats = list(stages[stage])
+            if stage == 0 and mode == "buffered":
+                pats.append("POSS_SU")
+            for pat in pats:
+                real = "(s)U" if pat == "POSS_SU" else pat
+                got = _strip(w, real, mode=mode)
+                if got is None or not any(c in _TR_VOWELS for c in got):
+                    continue
+                if pat == "ki" and not got.endswith(
+                    ("da", "de", "ta", "te")
+                ):
+                    continue
+                hit = (pat, got)
+                break
+            if hit is not None:
+                break
         if hit is None:
             stage += 1
             continue
         pat, w = hit
         if pat == "ki":
             stage = 0        # the -DAki chain re-opens case stripping
-        elif pat == "lArU":
-            stage = 3        # plural+possessive combined: chain done
+        elif pat in ("lArU", "POSS_SU"):
+            stage = 3 if pat == "lArU" else 2  # possessive consumed
         else:
             stage += 1
 

@@ -64,3 +64,73 @@ def test_eastern_idempotent_on_goldens():
                         (snowball_ro_stem, RO_GOLDENS)):
         for stem in set(goldens.values()):
             assert fn(fn(stem)) == fn(stem), (fn.__name__, stem)
+
+
+# ---------------------------------------------------------------------------
+# Expanded Romanian per-step goldens (round 4).  Derived by hand-tracing
+# the published algorithm (snowballstem.org/algorithms/romanian/
+# stemmer.html): intervocalic i/u are consonantised first; step 0
+# (plurals/articles, R1), step 1 (combining suffixes, repeated), step 2
+# (standard suffixes, R2), step 3 (verb suffixes, only when steps 1-2
+# removed nothing; the conditioned group requires a consonant or u
+# immediately before the suffix AND inside RV, with no back-off to a
+# shorter suffix on failure), step 4 (final vowel in RV).
+RO_GOLDENS_STEPS = {
+    # step 0: articles and plurals
+    "copilul": "copil", "copilului": "copil", "timpul": "timp",
+    "omului": "om", "casele": "cas", "caselor": "cas", "fetele": "fet",
+    "frunzele": "frunz", "zilele": "zil", "cântecele": "cântec",
+    "oraşele": "oraş", "cărţii": "cărţ", "anii": "ani",
+    "munţii": "munţ", "pisicile": "pisic", "limbile": "limb",
+    "maşinile": "maşin", "florile": "flor", "lucrurile": "lucrur",
+    "familiile": "famil", "oamenilor": "oamen", "românilor": "român",
+    "studenţilor": "studenţ", "naţie": "naţ", "naţia": "naţi",
+    # step 0 R1 gating: ele->e leaves apele/ape (final e outside RV)
+    "apele": "ape",
+    # step 1: combining suffixes
+    "durabilitate": "durabil", "probabilitate": "probabil",
+    "sensibilitate": "sensibil", "activitate": "activ",
+    "electricitate": "electr", "publicitate": "public",
+    "indicator": "indic", "indicatori": "indic", "educativ": "educ",
+    "educativă": "educ", "muncitoare": "muncit", "cumpărător": "cumpăr",
+    # step 1 R1 gating: ator not inside R1 of creator -> untouched
+    "creator": "creator",
+    # step 2: standard suffixes in R2
+    "politică": "polit", "periculos": "pericul",
+    "interesant": "interes", "interesante": "interes",
+    "jurnalist": "jurnal", "jurnalişti": "jurnal", "optimism": "optim",
+    "impresionant": "impresion", "necesitate": "necesit",
+    # step 2 R2 gating: ment not in R2 of argument -> untouched
+    "argument": "argument", "documentele": "document",
+    # step 3: verb suffixes (conditioned group needs consonant/u before,
+    # inside RV)
+    "cântând": "cânt", "mergând": "merg", "vorbind": "vorb",
+    "lucrează": "lucr", "lucrez": "lucr", "vorbeşte": "vorb",
+    "vorbesc": "vorb", "cântase": "cânt", "cântaseră": "cânt",
+    "mergeam": "merg", "cântarăm": "cânt", "fericirea": "feric",
+    "plecarea": "plec",
+    # unconditioned verb endings
+    "vorbim": "vorb", "vorbiţi": "vorb", "cântăm": "cânt",
+    "cântaţi": "cânt",
+    # step 3 condition fails inside RV and does NOT back off: the
+    # preceding letter sits before RV (citeam) or the longest match's
+    # condition fails with no shorter-suffix retry (văzusem, venisem)
+    "citeam": "citeam", "citeau": "citeau", "văzusem": "văzusem",
+    "venisem": "venisem", "citeai": "citea",
+    # step 4: final vowel in RV
+    "casa": "cas", "carte": "cart", "copii": "cop",
+    "familie": "famil", "bucurie": "bucur", "mamei": "mame",
+    "prieteniei": "prieten", "bucuriei": "bucur",
+    # no suffix
+    "brad": "brad", "dor": "dor",
+}
+
+
+def test_snowball_ro_goldens_per_step():
+    wrong = {
+        w: (snowball_ro_stem(w), want)
+        for w, want in RO_GOLDENS_STEPS.items()
+        if snowball_ro_stem(w) != want
+    }
+    assert not wrong, f"mismatches (got, want): {wrong}"
+    assert len(RO_GOLDENS_STEPS) >= 50

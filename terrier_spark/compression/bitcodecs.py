@@ -10,6 +10,10 @@ reference's OTHER codecs for format parity and interop:
   (org/terrier/structures/postings/bit/BasicIterablePosting.java:38,
   org/terrier/compression/bit/BitOutBase.java writeGamma/writeUnary).
 * Golomb-Rice — org/terrier/compression/integer/codec/GolombCodec.java.
+* minimal (truncated) binary and skewed Golomb —
+  org/terrier/compression/bit/BitOutputStream.java:314-346 /
+  BitInBase.java:117-141 (doubling buckets keyed by unary bucket id,
+  minimal-binary offset within the bucket).
 * binary interpolative — .../codec/LemireCodec wrappers aside, Terrier
   ships an interpolative coder for docid lists.
 * Lemire-family block codecs: FOR (frame-of-reference bit packing),
@@ -82,6 +86,37 @@ class BitWriter:
         else:
             self.write_bits(r + cutoff, nbits)
 
+    def write_minimal_binary(self, x: int, b: int) -> None:
+        """Minimal binary (truncated binary) code for 0 <= x < b over a
+        b-value alphabet (org/terrier/compression/bit/
+        BitOutputStream.java:346): the first m = 2^(log2b+1) - b values
+        take log2b bits, the rest take log2b+1 bits holding m + x."""
+        if not 0 <= x < max(b, 1):
+            raise ValueError("minimal binary needs 0 <= x < b")
+        if b <= 1:
+            return  # a 1-value alphabet carries no information
+        log2b = b.bit_length() - 1
+        m = (1 << (log2b + 1)) - b
+        if x < m:
+            self.write_bits(x, log2b)
+        else:
+            self.write_bits(m + x, log2b + 1)
+
+    def write_skewed_golomb(self, x: int, b: int) -> None:
+        """Skewed-Golomb code for x >= 0 with parameter b >= 1
+        (org/terrier/compression/bit/BitOutputStream.java:314): bucket
+        i = msb(x/b + 1) holds the b*2^i values in
+        [(2^i - 1)*b, (2^(i+1) - 1)*b), written as unary(i+1) plus the
+        minimal-binary offset within the bucket — buckets double in
+        width, skewing short codes toward small gaps."""
+        if x < 0 or b < 1:
+            raise ValueError("skewed golomb needs x >= 0, b >= 1")
+        i = (x // b + 1).bit_length() - 1
+        self.write_unary(i + 1)
+        m = ((1 << i) - 1) * b
+        big_m = ((1 << (i + 1)) - 1) * b
+        self.write_minimal_binary(x - m, big_m - m)
+
     def getvalue(self) -> bytes:
         bits = self._bits
         n = len(bits)
@@ -127,6 +162,26 @@ class BitReader:
     def read_delta(self) -> int:
         nbits = self.read_gamma()
         return (1 << (nbits - 1)) | self.read_bits(nbits - 1)
+
+    def read_minimal_binary(self, b: int) -> int:
+        """Inverse of write_minimal_binary (BitInBase.java:133
+        semantics, made a strict inverse: the reference reader's +1 in
+        the short branch belongs to its Golomb caller)."""
+        if b <= 1:
+            return 0
+        log2b = b.bit_length() - 1
+        m = (1 << (log2b + 1)) - b
+        x = self.read_bits(log2b)
+        if x < m:
+            return x
+        return ((x << 1) | self.read_bit()) - m
+
+    def read_skewed_golomb(self, b: int) -> int:
+        """Inverse of write_skewed_golomb (BitInBase.java:117)."""
+        i = self.read_unary() - 1
+        m = ((1 << i) - 1) * b
+        big_m = ((1 << (i + 1)) - 1) * b
+        return m + self.read_minimal_binary(big_m - m)
 
     def read_golomb(self, b: int) -> int:
         q = self.read_unary() - 1

@@ -137,3 +137,53 @@ def test_gap_compression_beats_vbyte_on_dense_lists():
     bit = encode_bit_postings(ids, tfs)
     byte = vbyte_encode(np.diff(ids, prepend=-1).astype(np.uint64))
     assert len(bit) < len(byte)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1 << 20), min_size=1,
+                max_size=60),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=60, deadline=None)
+def test_skewed_golomb_roundtrip(vals, b):
+    w = BitWriter()
+    for v in vals:
+        w.write_skewed_golomb(v, b)
+    r = BitReader(w.getvalue())
+    assert [r.read_skewed_golomb(b) for _ in vals] == vals
+
+
+@given(st.integers(min_value=2, max_value=1 << 16), st.data())
+@settings(max_examples=80, deadline=None)
+def test_minimal_binary_roundtrip(b, data):
+    vals = data.draw(st.lists(st.integers(min_value=0, max_value=b - 1),
+                              min_size=1, max_size=40))
+    w = BitWriter()
+    for v in vals:
+        w.write_minimal_binary(v, b)
+    r = BitReader(w.getvalue())
+    assert [r.read_minimal_binary(b) for _ in vals] == vals
+
+
+def test_minimal_binary_code_lengths():
+    # b = 6: m = 2^3 - 6 = 2 -> values 0,1 take 2 bits; 2..5 take 3
+    for x, nbits in [(0, 2), (1, 2), (2, 3), (5, 3)]:
+        w = BitWriter()
+        w.write_minimal_binary(x, 6)
+        assert len(w) == nbits, (x, len(w))
+    # power-of-two alphabet: plain binary, log2b bits for every value
+    for x in range(8):
+        w = BitWriter()
+        w.write_minimal_binary(x, 8)
+        assert len(w) == 3
+    # 1-value alphabet carries no bits
+    w = BitWriter()
+    w.write_minimal_binary(0, 1)
+    assert len(w) == 0
+
+
+def test_skewed_golomb_bucket_structure():
+    # b = 4: bucket 0 = [0,4) unary 1 + mb(4) = 1+2 bits; bucket 1 =
+    # [4,12) unary 2 + mb(8) = 2+3; bucket 2 = [12,28) unary 3 + mb(16)
+    for x, nbits in [(0, 3), (3, 3), (4, 5), (11, 5), (12, 7), (27, 7)]:
+        w = BitWriter()
+        w.write_skewed_golomb(x, 4)
+        assert len(w) == nbits, (x, len(w))

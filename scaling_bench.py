@@ -247,14 +247,17 @@ def query_worker(cpus: int) -> None:
         store = IndexStore(index_dir)
         queries = make_zipf_queries(vocab_size)
         # the score-cell chunking cap bounds PER-JOB aggregation state,
-        # which lives in the executors: size it to the EXECUTOR heap,
-        # not the whole box (the default 1e9 assumes local[32] with the
-        # full machine's memory; a 4-core/20G executor OOMs there —
-        # measured).  ~40-64 bytes/cell of agg state, keep well under
-        # heap at the LOW level where one executor holds everything.
+        # which lives in the executors: size it to the AGGREGATE
+        # executor heap (n_exec x exec_mb) — hash-partitioned agg state
+        # spreads evenly across executors, and a real 4N-executor
+        # cluster has 4N x the memory, so a per-level cap is exactly
+        # what a real deployment configures.  (The default 1e9 assumes
+        # local[32] with the full machine's memory; a 4-core/20G
+        # executor OOMs there — measured.)  ~40-64 bytes/cell of agg
+        # state -> ~5e3 cells per heap-MB per executor.
         cells_cap = float(os.environ.get(
-            "SCALING_CELLS_CAP", str(int(exec_mb * 5e3))
-        ))  # 20480 MB -> ~1e8 cells
+            "SCALING_CELLS_CAP", str(int(exec_mb * 5e3 * n_exec))
+        ))  # 20480 MB x 1 exec -> ~1e8 cells; x4 execs -> ~4e8
         qcfg = QueryConfig(k=1000, prune=True,
                            batch_max_score_cells=cells_cap)
         times = []

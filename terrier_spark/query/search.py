@@ -275,11 +275,16 @@ def search_terms(
     qterms: pd.DataFrame,
     qcfg: Optional[QueryConfig] = None,
     with_meta: bool = False,
+    _survivors_pdf: Optional[pd.DataFrame] = None,
 ) -> DataFrame:
     """Like search(), but takes pre-pipelined weighted terms directly:
     a pandas frame (qid, term, qtf) with float qtf allowed — the entry
     point query expansion re-enters with Bo1 weights
-    (Manager.runMatching keyFrequency semantics)."""
+    (Manager.runMatching keyFrequency semantics).
+
+    `_survivors_pdf` is internal: a chunked over-cap batch passes each
+    chunk its slice of the batch-wide pruning survivors (qid, bucket,
+    theta) so chunks skip re-pruning."""
     qcfg = qcfg or QueryConfig()
     stats = store.stats
     N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
@@ -293,42 +298,6 @@ def search_terms(
             else "qid string, rank int, docid long, score double"
         )
         return spark.createDataFrame([], schema)
-
-    # Bounded-memory batch execution: a degenerate batch (many queries x
-    # hot terms) can push the per-job (qid, docid) aggregation state
-    # past executor memory — measured: 225 queries x 8M docs of a
-    # saturated vocabulary OOMed a 14-GiB executor.  When the estimated
-    # score-cell count (sum over queries of their terms' document
-    # frequencies) exceeds the cap, split the batch into query chunks
-    # and run them as SEQUENTIAL jobs; each chunk's (tiny, <= k-per-qid)
-    # result is materialized eagerly so chunk memory is released before
-    # the next chunk starts.  Results are identical: queries never
-    # interact in scoring.
-    per_qid = qstats.groupby("qid")["nt"].sum()
-    cap = qcfg.batch_max_score_cells
-    if cap is not None and per_qid.sum() > cap and len(per_qid) > 1:
-        chunks: List[List[str]] = [[]]
-        acc = 0.0
-        for qid, cost in per_qid.sort_index().items():
-            if chunks[-1] and acc + float(cost) > cap:
-                chunks.append([])
-                acc = 0.0
-            chunks[-1].append(qid)
-            acc += float(cost)
-        log.info(
-            "search_terms: %d queries / %.0f estimated score cells "
-            "exceed batch_max_score_cells=%.0f -> %d sequential chunks",
-            len(per_qid), per_qid.sum(), cap, len(chunks),
-        )
-        out = None
-        for chunk in chunks:
-            part = search_terms(
-                spark, store,
-                qterms[qterms["qid"].isin(chunk)],
-                qcfg, with_meta,
-            ).localCheckpoint(eager=True)
-            out = part if out is None else out.unionByName(part)
-        return out
 
     terms = sorted(set(qstats["term"]))
     blocks = store.postings(spark).filter(F.col("term").isin(terms))
@@ -383,12 +352,97 @@ def search_terms(
     # most bucket_span distinct docids, so pass 1 can never find k docs
     # in one bucket and theta stays undefined -> every bucket survives.
     # Skip the two-pass instead of paying it for nothing.
-    if (
+    prune_ok = (
         qcfg.prune
         and qcfg.k < store.bucket_span
         and (spec.prunable or can_field_prune or ms_idx is not None)
         and total_postings >= qcfg.prune_min_postings
+    )
+    # Bounded-memory batch execution: a degenerate batch (many queries x
+    # hot terms) can push the per-job (qid, docid) aggregation state
+    # past executor memory — measured: 225 queries x 8M docs of a
+    # saturated vocabulary OOMed a 14-GiB executor.  When the estimated
+    # score-cell volume exceeds `batch_max_score_cells`, split the batch
+    # into query chunks run as SEQUENTIAL jobs; each chunk's (tiny,
+    # <= k-per-qid) result is materialized eagerly so chunk memory is
+    # released before the next chunk starts.  Results are identical:
+    # queries never interact in scoring.
+    #
+    # For prunable batches the split is sized by the POST-prune
+    # surviving cell volume: the two-pass prune runs ONCE batch-wide
+    # (its aggregations are metadata-only; pass 1 decodes one bucket
+    # per query), the exact per-bucket posting counts of the SURVIVING
+    # buckets then size the chunks, and each chunk reuses its slice of
+    # the survivor set instead of re-pruning.  Pruning typically kills
+    # most of the raw volume, so this collapses the df-estimate's many
+    # chunks (each paying plan-compile + job-fixed costs serially —
+    # measured ~11 s/chunk on the 900-query scaling batch) into one or
+    # a few.
+    cap = qcfg.batch_max_score_cells
+    per_qid = qstats.groupby("qid")["nt"].sum()
+    over_cap = (
+        cap is not None and per_qid.sum() > cap and len(per_qid) > 1
+        and _survivors_pdf is None
+    )
+
+    def _chunked(cost_by_qid: "pd.Series", surv: Optional[pd.DataFrame]):
+        chunks: List[List[str]] = [[]]
+        acc = 0.0
+        for qid, cost in cost_by_qid.sort_index().items():
+            if chunks[-1] and acc + float(cost) > cap:
+                chunks.append([])
+                acc = 0.0
+            chunks[-1].append(qid)
+            acc += float(cost)
+        log.info(
+            "search_terms: %d queries / %.0f score cells exceed "
+            "batch_max_score_cells=%.0f -> %d sequential chunks (%s)",
+            len(cost_by_qid), cost_by_qid.sum(), cap, len(chunks),
+            "post-prune survivor volume" if surv is not None
+            else "raw df estimate",
+        )
+        out = None
+        for chunk in chunks:
+            out_c = search_terms(
+                spark, store,
+                qterms[qterms["qid"].isin(chunk)],
+                qcfg, with_meta,
+                _survivors_pdf=(
+                    surv[surv["qid"].isin(chunk)] if surv is not None
+                    else None
+                ),
+            ).localCheckpoint(eager=True)
+            out = out_c if out is None else out.unionByName(out_c)
+        return out
+
+    if _survivors_pdf is not None:
+        # chunk of an over-cap batch: apply the precomputed survivors
+        surv_df = spark.createDataFrame(
+            _survivors_pdf[["qid", "bucket", "theta"]],
+            schema="qid string, bucket long, theta double",
+        )
+        joined = joined.join(F.broadcast(surv_df), ["qid", "bucket"])
+    elif over_cap and prune_ok and (
+        # pass 1 of a batch-wide prune decodes ONE bucket per query in a
+        # single job; when even that upper bound (queries x bucket_span)
+        # cannot fit the cap — think 10^5-query mega-batches — fall back
+        # to raw-df chunking below, where each chunk prunes itself
+        len(per_qid) * store.bucket_span <= cap
     ):
+        joined_pruned, surv_pdf = _prune_buckets(
+            spark, joined, qcfg, N, avgdl, T_eff, eager=True,
+            spec=spec, field_params=field_params, ms_idx=ms_idx,
+            return_survivors=True,
+        )
+        per_qid_cells = surv_pdf.groupby("qid")["cells"].sum()
+        if per_qid_cells.sum() > cap and len(per_qid_cells) > 1:
+            return _chunked(per_qid_cells, surv_pdf)
+        joined = joined_pruned
+    elif over_cap:
+        # unprunable model (or a mega-batch whose pass 1 would itself
+        # break the cap): raw-df-estimate split, chunks prune themselves
+        return _chunked(per_qid, None)
+    elif prune_ok:
         n_queries = qstats["qid"].nunique()
         joined = _prune_buckets(
             spark, joined, qcfg, N, avgdl, T_eff,
@@ -456,7 +510,8 @@ def search_terms(
 def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                    N: int, avgdl: float, T: int,
                    eager: bool = True, spec=None,
-                   field_params=None, ms_idx=None) -> DataFrame:
+                   field_params=None, ms_idx=None,
+                   return_survivors: bool = False):
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -531,11 +586,14 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
             block_ub(F.col("max_tf"), F.col("min_dl"), F.col("qtf"),
                      F.col("nt"), F.col("tfc")),
         )
+    # `n` (exact postings per block) rides along so the over-cap caller
+    # can size its chunks by SURVIVING decode volume
     bucket_ub = (
         block_ubs.groupBy("qid", "bucket", "term")
-        .agg(F.max("block_ub").alias("t_ub"))
+        .agg(F.max("block_ub").alias("t_ub"), F.sum("n").alias("t_cells"))
         .groupBy("qid", "bucket")
-        .agg(F.sum("t_ub").alias("bucket_ub"))
+        .agg(F.sum("t_ub").alias("bucket_ub"),
+             F.sum("t_cells").alias("cells"))
     )
     if eager:
         bucket_ub.persist()
@@ -593,19 +651,27 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                 F.when(
                     F.col("theta") != F.lit(float("-inf")), F.col("theta")
                 ).alias("theta"),
+                "cells",
             )
         )
-        if eager:
+        surv_pdf = None
+        if eager or return_survivors:
             # materialize the surviving (qid, bucket) pairs NOW: they
             # would be broadcast (= collected to the driver) anyway, and
             # doing it eagerly lets the cached bucket_ub be released
             # deterministically instead of leaking across queries in a
             # long-lived session.
+            surv_pdf = survivors.toPandas()
             survivors = spark.createDataFrame(
-                survivors.toPandas(),
+                surv_pdf[["qid", "bucket", "theta"]],
                 schema="qid string, bucket long, theta double",
             )
+        else:
+            survivors = survivors.drop("cells")
     finally:
         if eager:
             bucket_ub.unpersist()
-    return joined.join(F.broadcast(survivors), ["qid", "bucket"])
+    pruned = joined.join(F.broadcast(survivors), ["qid", "bucket"])
+    if return_survivors:
+        return pruned, surv_pdf
+    return pruned

@@ -172,3 +172,26 @@ def test_chunked_batch_equals_unchunked(spark, engine):
         for r in search(spark, store, queries, chunked_cfg).collect()
     }
     assert whole == chunked and whole
+
+
+def test_survivor_chunked_batch_equals_unchunked(spark, engine):
+    """The prunable over-cap path prunes ONCE batch-wide and chunks by
+    surviving cell volume, each chunk reusing its survivor slice — must
+    be result-invariant vs the unchunked plan.  Cap chosen so the
+    pass-1 guard (queries x bucket_span <= cap) passes but the raw
+    volume exceeds it, forcing the survivor-sized split."""
+    store, oracle = engine
+    queries = make_queries(oracle, n_per_bucket=2, seed=11)
+    base = QueryConfig(k=20, ignore_low_idf=False, prune_min_postings=0)
+    whole = {
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in search(spark, store, queries, base).collect()
+    }
+    n_q = len(queries)
+    cap = float(n_q * 128)  # engine fixture builds with bucket_span=128
+    surv_cfg = replace(base, batch_max_score_cells=cap)
+    chunked = {
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in search(spark, store, queries, surv_cfg).collect()
+    }
+    assert whole == chunked and whole

@@ -195,3 +195,30 @@ def test_survivor_chunked_batch_equals_unchunked(spark, engine):
         for r in search(spark, store, queries, surv_cfg).collect()
     }
     assert whole == chunked and whole
+
+
+def test_scan_pushdown_plan_shape(spark, engine):
+    """Scale guard: the postings scan must keep the term In-filter
+    pushed to parquet and read only the columns the plan needs — a scan
+    that reads all columns for the decode would be wrong at 100 TB."""
+    import contextlib
+    import io
+
+    store, oracle = engine
+    vocab = sorted(oracle.postings)
+    res = search(spark, store, [("q", f"{vocab[0]} {vocab[1]}")],
+                 QueryConfig(k=5, ignore_low_idf=False))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "In(term" in plan or "term IN" in plan, "term filter not pushed"
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    post_schema = next((s for s in schemas if "block" in s), None)
+    assert post_schema is not None, f"no postings ReadSchema in plan: {schemas}"
+    cols = {c.split(":")[0] for c in post_schema.split(",")}
+    assert "content" not in cols and "pos" not in cols, cols
+    assert cols <= {"term", "bucket", "block", "max_tf", "min_dl",
+                    "max_score", "n", "ftf", "fln", "max_ftf_f",
+                    "min_fln_f"}, f"over-wide postings scan: {cols}"

@@ -258,7 +258,12 @@ def query_worker(cpus: int) -> None:
         cells_cap = float(os.environ.get(
             "SCALING_CELLS_CAP", str(int(exec_mb * 5e3 * n_exec))
         ))  # 20480 MB x 1 exec -> ~1e8 cells; x4 execs -> ~4e8
-        qcfg = QueryConfig(k=1000, prune=True,
+        # SCALING_K=10 variant: top-10 retrieval (the common serving
+        # case) — block-max pruning kills most decode volume, so this
+        # measures the plan's scaling with the single-box
+        # memory-bandwidth confound of the k=1000 run largely removed
+        k = int(os.environ.get("SCALING_K", "1000"))
+        qcfg = QueryConfig(k=k, prune=True,
                            batch_max_score_cells=cells_cap)
         times = []
         n_rows = 0
@@ -351,6 +356,7 @@ def main_queries() -> None:
         speedup = (
             results[lo]["warm_query_sec"] / results[hi]["warm_query_sec"]
         )
+        k = int(os.environ.get("SCALING_K", "1000"))
         protocol = {
             "phase": "queries",
             "zipf_docs": n_docs,
@@ -361,6 +367,7 @@ def main_queries() -> None:
             "cpu_pinned": PIN_CPUS,
             "index_build_sec_once": build_sec,
             "num_docs": n_built,
+            "k": k,
         }
         is_protocol = (
             n_docs >= 500000 and vocab >= 50000
@@ -376,7 +383,8 @@ def main_queries() -> None:
         }
         print(json.dumps(report, indent=2))
         out_file = (
-            "BENCH_SCALING_QUERIES.json" if is_protocol
+            ("BENCH_SCALING_QUERIES.json" if k == 1000
+             else f"BENCH_SCALING_QUERIES_K{k}.json") if is_protocol
             else "BENCH_SCALING_QUERIES_adhoc.json"
         )
         with open(out_file, "w") as fh:

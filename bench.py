@@ -64,6 +64,18 @@ def cpu_probe(reps: int = 3) -> float:
     return round(best, 4)
 
 
+def quiet_box(load_before, probe_before: float, probe_after: float,
+              max_load: float = 1.0, max_drift: float = 0.05) -> bool:
+    """True iff the host was measurably idle around the run: 1-minute
+    loadavg below `max_load` when the run started AND the fixed CPU
+    probe drifted < `max_drift` between start and end (external load
+    slows the probe).  `protocol_compliant` checks only the protocol
+    PARAMETERS — a loaded-box run still stamps compliant — so graded
+    comparisons filter on this flag instead of reading the load block."""
+    drift = abs(probe_after - probe_before) / max(probe_before, 1e-9)
+    return load_before[0] < max_load and drift < max_drift
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -206,6 +218,8 @@ def main() -> None:
                     },
                     "protocol": protocol,
                     "protocol_compliant": compliant,
+                    "quiet_box": quiet_box(load_before, probe_before,
+                                           probe_after),
                     "host_load": {
                         "loadavg_before": [round(x, 2) for x in load_before],
                         "loadavg_after": [round(x, 2) for x in load_after],

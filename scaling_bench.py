@@ -50,6 +50,26 @@ LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")]
 PIN_CPUS = os.environ.get("SCALING_PIN", "1") == "1"
 
 
+def _host_load_block():
+    """Start-of-run host snapshot; pair with _host_load_finish()."""
+    from bench import cpu_probe
+
+    return {"loadavg_before": [round(x, 2) for x in os.getloadavg()],
+            "cpu_probe_sec_before": cpu_probe()}
+
+
+def _host_load_finish(block: dict) -> bool:
+    """Complete the snapshot and return the quiet_box verdict (same
+    thresholds as bench.py: loadavg < 1 at start, probe drift < 5%)."""
+    from bench import cpu_probe, quiet_box
+
+    block["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    block["cpu_probe_sec_after"] = cpu_probe()
+    return quiet_box(block["loadavg_before"],
+                     block["cpu_probe_sec_before"],
+                     block["cpu_probe_sec_after"])
+
+
 def worker(cpus: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
@@ -304,6 +324,7 @@ def main_queries() -> None:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = _tf.mkdtemp(prefix="qscaling_", dir=shm)
     index_dir = os.path.join(root, "zipf_index")
+    host_load = _host_load_block()
     try:
         from terrier_spark.config import IndexConfig
         from terrier_spark.index.corpus import synth_zipf_corpus
@@ -380,6 +401,8 @@ def main_queries() -> None:
             "query_scaling_efficiency": round(speedup / ratio, 3),
             "protocol": protocol,
             "protocol_compliant": is_protocol,
+            "quiet_box": _host_load_finish(host_load),
+            "host_load": host_load,
         }
         print(json.dumps(report, indent=2))
         out_file = (
@@ -411,6 +434,7 @@ def main() -> None:
         return
 
     results = {}
+    host_load = _host_load_block()
     for cpus in LEVELS:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--cpus", str(cpus)]
@@ -468,6 +492,8 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "protocol": protocol,
         "protocol_compliant": is_protocol,
+        "quiet_box": _host_load_finish(host_load),
+        "host_load": host_load,
     }
     if results[lo].get("warm_query_sec") and results[hi].get("warm_query_sec"):
         qsp = results[lo]["warm_query_sec"] / results[hi]["warm_query_sec"]

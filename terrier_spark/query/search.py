@@ -145,7 +145,10 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
                 else:
                     scores = kernel(tfs, dls, row.qtf, row.nt, row.tfc,
                                     N, avgdl, T)
-                out_qid.append(np.full(ids.size, row.qid, dtype=object))
+                # int32 qid codes, not strings: object-dtype qid columns
+                # dominated the Arrow exchange bytes and the JVM hash-agg
+                # key cost in the DRAM-bound batch phase (VERDICT r4 #2a)
+                out_qid.append(np.full(ids.size, row.qid, dtype=np.int32))
                 out_docid.append(ids)
                 out_score.append(scores)
                 pending += ids.size
@@ -301,7 +304,19 @@ def search_terms(
 
     terms = sorted(set(qstats["term"]))
     blocks = store.postings(spark).filter(F.col("term").isin(terms))
-    qstats = qstats.assign(qtf=qstats["qtf"].astype(float))
+    # Integer qid codes through the whole decode/agg exchange: the warm
+    # 900-query batch is DRAM-bandwidth-bound in decode+agg (event-log
+    # profile, BASELINE.md), and a string qid there costs object-dtype
+    # columns in every Arrow batch plus string hashing in the JVM
+    # hash-agg and top-k window.  Map each label to a dense int32 at
+    # plan-build time, run everything on the code, and join the labels
+    # back AFTER the top-k cut (<= k rows per query, broadcast join).
+    qid_labels = sorted(set(qstats["qid"]))
+    qid_code_of = {q: i for i, q in enumerate(qid_labels)}
+    qstats = qstats.assign(
+        qtf=qstats["qtf"].astype(float),
+        qid=qstats["qid"].map(qid_code_of).astype("int32"),
+    )
     qs_df = spark.createDataFrame(
         qstats[["qid", "term", "qtf", "nt", "tfc", "term_ub"]]
     )
@@ -379,7 +394,13 @@ def search_terms(
     # measured ~11 s/chunk on the 900-query scaling batch) into one or
     # a few.
     cap = qcfg.batch_max_score_cells
-    per_qid = qstats.groupby("qid")["nt"].sum()
+    # chunking recurses through the PUBLIC entry with the original string
+    # labels (each recursion builds its own dense code space), so chunk
+    # cost series and survivor frames crossing that boundary are keyed by
+    # label, not code
+    per_qid = qstats.groupby("qid")["nt"].sum().rename(
+        index=lambda c: qid_labels[c]
+    )
     over_cap = (
         cap is not None and per_qid.sum() > cap and len(per_qid) > 1
         and _survivors_pdf is None
@@ -417,9 +438,13 @@ def search_terms(
 
     if _survivors_pdf is not None:
         # chunk of an over-cap batch: apply the precomputed survivors
+        # (label-keyed across the recursion boundary -> this chunk's codes)
+        surv_coded = _survivors_pdf.assign(
+            qid=_survivors_pdf["qid"].map(qid_code_of).astype("int32")
+        )
         surv_df = spark.createDataFrame(
-            _survivors_pdf[["qid", "bucket", "theta"]],
-            schema="qid string, bucket long, theta double",
+            surv_coded[["qid", "bucket", "theta"]],
+            schema="qid int, bucket long, theta double",
         )
         joined = joined.join(F.broadcast(surv_df), ["qid", "bucket"])
     elif over_cap and prune_ok and (
@@ -434,9 +459,16 @@ def search_terms(
             spec=spec, field_params=field_params, ms_idx=ms_idx,
             return_survivors=True,
         )
-        per_qid_cells = surv_pdf.groupby("qid")["cells"].sum()
+        per_qid_cells = surv_pdf.groupby("qid")["cells"].sum().rename(
+            index=lambda c: qid_labels[c]
+        )
         if per_qid_cells.sum() > cap and len(per_qid_cells) > 1:
-            return _chunked(per_qid_cells, surv_pdf)
+            return _chunked(
+                per_qid_cells,
+                surv_pdf.assign(
+                    qid=[qid_labels[c] for c in surv_pdf["qid"]]
+                ),
+            )
         joined = joined_pruned
     elif over_cap:
         # unprunable model (or a mega-batch whose pass 1 would itself
@@ -479,7 +511,7 @@ def search_terms(
         decoded = selected.mapInPandas(
             _decode_agg_udf(qcfg.model, N, avgdl, T_eff, field_params,
                             k=qcfg.k),
-            schema="qid string, docid long, score double",
+            schema="qid int, docid long, score double",
         )
         scored = decoded
     else:
@@ -493,12 +525,28 @@ def search_terms(
             selected = selected.repartition(default_par)
         decoded = selected.mapInPandas(
             _decode_score_udf(qcfg.model, N, avgdl, T_eff, field_params),
-            schema="qid string, docid long, score double",
+            schema="qid int, docid long, score double",
         )
         scored = decoded.groupBy("qid", "docid").agg(
             F.sum("score").alias("score")
         )
-    out = _topk(scored, qcfg.k).select("qid", "rank", "docid", "score")
+    # label join AFTER the top-k cut: <= k rows per query reach it, so the
+    # string qids never touch the decode exchange, the hash-agg, or the
+    # top-k sort — only this broadcast join against the tiny label map
+    label_df = spark.createDataFrame(
+        pd.DataFrame({
+            "qid": np.arange(len(qid_labels), dtype=np.int32),
+            "qid_label": qid_labels,
+        }),
+        schema="qid int, qid_label string",
+    )
+    out = (
+        _topk(scored, qcfg.k)
+        .join(F.broadcast(label_df), "qid")
+        .select(
+            F.col("qid_label").alias("qid"), "rank", "docid", "score"
+        )
+    )
     if with_meta:
         meta = store.meta(spark).select("docid", "docno", "sha256")
         out = out.join(meta, "docid").select(
@@ -619,7 +667,7 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
         decoded1 = sel1.mapInPandas(
             _decode_score_udf(qcfg.model, N, avgdl, T,
                               field_params if spec.needs_fields else None),
-            schema="qid string, docid long, score double",
+            schema="qid int, docid long, score double",
         )
         kth = (
             decoded1.groupBy("qid", "docid")
@@ -664,7 +712,7 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
             surv_pdf = survivors.toPandas()
             survivors = spark.createDataFrame(
                 surv_pdf[["qid", "bucket", "theta"]],
-                schema="qid string, bucket long, theta double",
+                schema="qid int, bucket long, theta double",
             )
         else:
             survivors = survivors.drop("cells")

@@ -217,6 +217,12 @@ def cmd_eval(args) -> None:
         out = evaluate_named_page(results, qrels)
         out.pop("recip_rank_per_query", None)
         out.pop("first_rank_per_query", None)
+    elif args.measure == "full":
+        # trec_eval -q analog (AdhocFullQueryEvaluation)
+        from terrier_spark.query.evaluation import evaluate_full_query
+
+        out = evaluate_full_query(results, qrels)
+        out["aggregate"].pop("AP_per_query", None)
     else:
         out = evaluate_run(results, qrels)
         out.pop("AP_per_query", None)
@@ -290,7 +296,7 @@ def main(argv=None) -> None:
     p.add_argument("--run", required=True)
     p.add_argument("--qrels", required=True)
     p.add_argument("--measure", default="adhoc",
-                   choices=["adhoc", "namedpage"])
+                   choices=["adhoc", "namedpage", "full"])
     p.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)

@@ -188,3 +188,53 @@ FUNCTION_WORDS: dict = {
         "suuri", "hyvä", "viime", "eri", "mm", "eli", "vaan",
     ),
 }
+
+
+# ----------------------------------------------------- trigram profiles
+
+TRIGRAM_ALPHA = 0.5
+
+
+def _word_trigrams(word: str):
+    """Boundary-padded character trigrams of one lowercase word:
+    trigrams of ' ' + word + ' ' (so 2-letter words still yield
+    signal and prefixes/suffixes are marked)."""
+    p = f" {word} "
+    return [p[i:i + 3] for i in range(len(p) - 2)]
+
+
+def trigram_logprobs() -> dict:
+    """Per-language character-trigram log-probability profiles DERIVED
+    from the FUNCTION_WORDS inventories above (no external data): the
+    closed-class words carry each orthography's signature letter
+    patterns (German 'sch'/'der', Spanish 'que'/' el', Finnish
+    'ää'...), which generalises to open-class words sharing the same
+    orthography — the fallback signal for short or code-mixed documents
+    where zero function words appear.
+
+    -> (logp, floor): logp[lang][tri] = ln((c + a) / (total + a * V));
+    floor[lang] = ln(a / (total + a * V)) for unseen trigrams, with V =
+    |global trigram vocabulary| + 1 (one shared unseen slot).  Additive
+    smoothing keeps every score finite; the same constants generate the
+    gate oracle SQL so engine and oracle cannot drift."""
+    import math
+
+    counts: dict = {}
+    vocab = set()
+    for lang, words in FUNCTION_WORDS.items():
+        c: dict = {}
+        for w in words:
+            for t in _word_trigrams(w):
+                c[t] = c.get(t, 0) + 1
+        counts[lang] = c
+        vocab.update(c)
+    V = len(vocab) + 1
+    a = TRIGRAM_ALPHA
+    logp: dict = {}
+    floor: dict = {}
+    for lang, c in counts.items():
+        total = sum(c.values())
+        denom = total + a * V
+        logp[lang] = {t: math.log((n + a) / denom) for t, n in c.items()}
+        floor[lang] = math.log(a / denom)
+    return logp, floor

@@ -112,6 +112,96 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def language_id_trigram(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Character-trigram language ID -> (id, lang_guess, tri_llk): argmax
+    of the mean per-trigram log-likelihood under per-language trigram
+    profiles DERIVED from the function-word lexicons
+    (langwords.trigram_logprobs — same public data as language_id, no
+    external corpora).  Catches what the lexicon vote cannot: short or
+    code-mixed documents with zero function-word hits still have
+    orthographic trigram signal (German 'sch', Spanish 'ción', Finnish
+    'ää').  One Arrow-batched kernel; trigram counting is a dict walk
+    over letter runs, everything else numpy.  Ties break lang ascending;
+    docs with no letters -> 'und'.  tri_llk is rounded to 6 dp so the
+    DuckDB oracle's different summation order cannot flip the hash."""
+    import re
+
+    import pandas as pd
+    from typing import Iterator
+
+    from terrier_spark.datapipe.langwords import (
+        _word_trigrams,
+        trigram_logprobs,
+    )
+
+    logp, floor = trigram_logprobs()
+    langs = sorted(logp)
+    word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, guesses, llks = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                counts: dict = {}
+                for w in word_re.findall((text or "").lower()):
+                    for t in _word_trigrams(w):
+                        counts[t] = counts.get(t, 0) + 1
+                n = sum(counts.values())
+                ids.append(rid)
+                if n == 0:
+                    guesses.append("und")
+                    llks.append(None)
+                    continue
+                best_lang, best_llk = None, None
+                for lang in langs:
+                    prof, fl = logp[lang], floor[lang]
+                    s = sum(
+                        c * prof.get(t, fl) for t, c in counts.items()
+                    )
+                    mean = s / n
+                    if best_llk is None or mean > best_llk:
+                        best_lang, best_llk = lang, mean
+                guesses.append(best_lang)
+                llks.append(round(best_llk, 6))
+            yield pd.DataFrame(
+                {"id": ids, "lang_guess": guesses,
+                 "tri_llk": pd.array(llks, dtype="float64")}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(
+        run, schema="id long, lang_guess string, tri_llk double"
+    )
+
+
+def language_id_combined(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Lexicon-first language ID with a trigram fallback: the
+    function-word argmax decides whenever at least one marker word hit
+    (high precision); zero-hit documents (short text, code comments,
+    named entities) fall back to the trigram profile instead of 'und'.
+    -> (id, lang_guess, hits, tri_llk, source)."""
+    words = language_id(df, id_col, text_col)
+    tri = language_id_trigram(df, id_col, text_col).withColumnRenamed(
+        "lang_guess", "tri_guess"
+    )
+    return (
+        words.join(tri, "id")
+        .select(
+            "id",
+            F.when(F.col("hits") > 0, F.col("lang_guess"))
+            .when(F.col("tri_llk").isNotNull(), F.col("tri_guess"))
+            .otherwise(F.lit("und")).alias("lang_guess"),
+            "hits", "tri_llk",
+            F.when(F.col("hits") > 0, F.lit("lexicon"))
+            .when(F.col("tri_llk").isNotNull(), F.lit("trigram"))
+            .otherwise(F.lit("none")).alias("source"),
+        )
+    )
+
+
 # the Gopher quality-rule stop set (Rae et al. 2021, §A.1.1: a document
 # must contain at least two of these)
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -316,6 +316,69 @@ def q_lang_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
 
+def q_lang_id_trigram(spark, sf_dir):
+    from terrier_spark.datapipe.textstats import language_id_trigram
+
+    return language_id_trigram(_docs(spark, sf_dir))
+
+
+def _lang_trigram_sql() -> str:
+    """Oracle for q_lang_id_trigram, generated from the SAME trigram
+    profile dict the engine scores with (langwords.trigram_logprobs):
+    per-language mean trigram log-likelihood, matched trigrams at their
+    profile log-prob, unseen ones at the language floor; argmax with
+    (llk desc, lang asc) ties; letterless docs -> ('und', NULL)."""
+    from terrier_spark.datapipe.langwords import trigram_logprobs
+
+    logp, floor = trigram_logprobs()
+    prof_rows = ", ".join(
+        f"('{lang}', '{tri.replace(chr(39), chr(39) * 2)}', {lp!r})"
+        for lang in sorted(logp)
+        for tri, lp in sorted(logp[lang].items())
+    )
+    floor_rows = ", ".join(
+        f"('{lang}', {fl!r})" for lang, fl in sorted(floor.items())
+    )
+    return f"""
+WITH prof(lang, tri, logp) AS (VALUES {prof_rows}),
+fl(lang, floor_lp) AS (VALUES {floor_rows}),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_LETTER_RUN}')) AS w
+  FROM documents
+),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) + 1),
+                i -> substr(' ' || w || ' ', i, 3))) AS tri
+  FROM words
+),
+tc AS (SELECT doc_id, tri, count(*)::DOUBLE AS c FROM tris GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+scored AS (
+  SELECT tc.doc_id, fl.lang,
+         sum(tc.c * coalesce(prof.logp, fl.floor_lp)) / max(tot.n)
+           AS mean_llk
+  FROM tc
+  CROSS JOIN fl
+  LEFT JOIN prof ON prof.lang = fl.lang AND prof.tri = tc.tri
+  JOIN tot ON tot.doc_id = tc.doc_id
+  GROUP BY tc.doc_id, fl.lang
+),
+best AS (
+  SELECT doc_id, lang, mean_llk,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY mean_llk DESC, lang) AS rn
+  FROM scored
+)
+SELECT d.doc_id::BIGINT AS id,
+       coalesce(b.lang, 'und') AS lang_guess,
+       round(b.mean_llk, 6)::DOUBLE AS tri_llk
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return char_fingerprints(_docs(spark, sf_dir)).withColumnRenamed(
         "id", "doc_id"
@@ -567,6 +630,47 @@ SELECT query_id, vec_id,
 FROM scored
 QUALIFY rank < {COSINE_K}
 """
+
+
+def q_image_metadata(spark, sf_dir):
+    # payloads carry REAL container headers (PNG IHDR / JPEG SOFn /
+    # GIF LSD / BMP info header) built by synth_image_media; the engine
+    # must recover (format, dims, depth, mode) from the BYTES — the
+    # oracle enumerates the generator's parameters independently
+    from terrier_spark.datapipe.imagemeta import (
+        image_metadata,
+        synth_image_media,
+    )
+
+    media = synth_image_media(spark, n=40)
+    return image_metadata(media)
+
+
+def _image_meta_sql() -> str:
+    """Oracle for q_image_metadata: the VALUES are the deterministic
+    generator PARAMETERS of synth_image_media (inputs regenerated, not
+    parser logic duplicated) — the engine side has to parse the actual
+    binary headers to match them."""
+    rows = []
+    for i in range(40):
+        w, h = 16 + 7 * (i % 23), 16 + 5 * (i % 31)
+        kind = i % 4
+        if kind == 0:
+            fmt, depth, mode = "png", 8, "RGBA"
+        elif kind == 1:
+            fmt, depth = "jpeg", 8
+            mode = "L" if i % 8 == 1 else "RGB"
+        elif kind == 2:
+            fmt, depth, mode = "gif", 8, "P"
+        else:
+            fmt, depth, mode = "bmp", 24, "RGB"
+        rows.append(f"({i}, '{fmt}', {w}, {h}, {depth}, '{mode}')")
+    return (
+        "SELECT media_id::BIGINT AS media_id, format, width::INT AS width,"
+        " height::INT AS height, bit_depth::INT AS bit_depth, mode\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, format, width, height, bit_depth, mode)"
+    )
 
 
 def _multimodal_sql() -> str:
@@ -850,6 +954,8 @@ DATAPIPE_QUERIES = {
     "language_id": q_lang_id,
     "char_fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "image_metadata": q_image_metadata,
+    "language_id_trigram": q_lang_id_trigram,
 }
 
 DATAPIPE_ORACLE_SQL = {
@@ -870,4 +976,6 @@ DATAPIPE_ORACLE_SQL = {
     "lsh_cosine_topk": _lsh_cosine_sql(),
     "ivf_cosine_topk": _ivf_sql(),
     "multimodal_features": _multimodal_sql(),
+    "image_metadata": _image_meta_sql(),
+    "language_id_trigram": _lang_trigram_sql(),
 }

@@ -464,3 +464,113 @@ def synth_zipf_corpus(spark: SparkSession, n_docs: int,
         schema="docno string, repo string, path string, commit string, "
                "lang string, content string",
     )
+
+
+def synth_topical_corpus(spark: SparkSession, n_docs: int,
+                         vocab_size: int = 50_000, n_topics: int = 50,
+                         shared_frac: float = 0.02, p_shared: float = 0.35,
+                         p_leak: float = 0.05, avg_len: int = 120,
+                         length_sigma: float = 1.0, seed: int = 42,
+                         partitions: Optional[int] = None) -> DataFrame:
+    """Heterogeneous variant of synth_zipf_corpus: a MIXTURE of topic
+    clusters instead of one global Zipf.  The uniform Zipf corpus is
+    statistically identical everywhere, so per-bucket block-max bounds
+    are near-equal and WAND's theta can never beat them (BASELINE.md
+    "uniform-corpus pruning limit") — pruning was provably correct but
+    demonstrably useless there.  Real corpora are not like that: a
+    source-code lake clusters by repo/language, so a query's terms are
+    dense in some docid ranges and absent-or-weak in the rest.
+
+    Layout (all deterministic in (seed, docid)):
+      * vocabulary = a SHARED head (ranks 1..S, S = shared_frac * vocab,
+        stopword-like, Zipf s=1) + n_topics equal slices of the rest,
+        each slice Zipf-distributed within itself;
+      * doc topic  = docid * n_topics // n_docs (contiguous ranges);
+      * each token draws shared with p_shared, a random FOREIGN topic's
+        slice with p_leak (weak cross-topic postings — the case pruning
+        must actually beat, not just absent postings), else its own
+        slice;
+      * doc length lognormal(avg_len, length_sigma) — sigma=1.0 vs the
+        uniform corpus's 0.6 widens (max_tf, min_dl) spread per block;
+      * repo encodes the topic (``t{topic}/repo{..}``), so building with
+        IndexConfig(sort_docids_by=("repo", "path")) — the fork's docid
+        reordering, InvertedIndexReordering.java:114-140 — clusters each
+        topic into contiguous docid ranges and per-bucket score bounds
+        become heterogeneous.  Ingest order (the default) scrambles
+        topics across buckets, which is the control arm of the
+        reordering experiment."""
+    import numpy as np
+    import pandas as pd
+
+    n_shared = max(64, int(vocab_size * shared_frac))
+    slice_size = (vocab_size - n_shared) // n_topics
+    if slice_size < 16:
+        raise ValueError("vocab too small for n_topics")
+
+    def zipf_cum(n: int) -> "np.ndarray":
+        c = np.cumsum(1.0 / np.arange(1, n + 1, dtype=np.float64))
+        return c / c[-1]
+
+    cum_shared = zipf_cum(n_shared)
+    cum_slice = zipf_cum(slice_size)
+    tokens = np.array([zipf_token(r) for r in range(1, vocab_size + 1)],
+                      dtype=object)
+    exts = list(_EXTS)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for docid in pdf["id"]:
+                d = int(docid)
+                topic = d * n_topics // n_docs
+                rng = np.random.default_rng(seed * 1_000_003 + d)
+                length = max(
+                    8, int(rng.lognormal(np.log(avg_len), length_sigma))
+                )
+                u = rng.random(length)
+                src = rng.random(length)
+                shared = src < p_shared
+                leak = (~shared) & (src < p_shared + p_leak)
+                own = ~(shared | leak)
+                rank = np.empty(length, dtype=np.int64)
+                rank[shared] = np.searchsorted(cum_shared, u[shared])
+                t_of = np.full(length, topic, dtype=np.int64)
+                if n_topics > 1 and leak.any():
+                    lt = rng.integers(0, n_topics - 1, int(leak.sum()))
+                    lt[lt >= topic] += 1
+                    t_of[leak] = lt
+                topical = leak | own
+                rank[topical] = (
+                    n_shared + t_of[topical] * slice_size
+                    + np.searchsorted(cum_slice, u[topical])
+                )
+                content = " ".join(tokens[rank])
+                ext = exts[d % len(exts)]
+                rows.append(
+                    (f"top{d:09d}", f"t{topic:04d}/repo{d % 31}",
+                     f"src/d{d % 64}/f{d}.{ext}",
+                     hashlib.sha1(
+                         f"topical:{seed}:{d}".encode()
+                     ).hexdigest()[:12],
+                     _EXTS[ext], content)
+                )
+            yield pd.DataFrame(
+                rows, columns=["docno", "repo", "path", "commit", "lang",
+                               "content"],
+            )
+
+    par = partitions or spark.sparkContext.defaultParallelism * 2
+    return spark.range(n_docs).repartition(par).mapInPandas(
+        gen,
+        schema="docno string, repo string, path string, commit string, "
+               "lang string, content string",
+    )
+
+
+def topical_slice_ranks(vocab_size: int = 50_000, n_topics: int = 50,
+                        shared_frac: float = 0.02):
+    """(n_shared, slice_size): the vocabulary geometry of
+    synth_topical_corpus, for query generators that need to sample
+    terms from a specific topic's slice."""
+    n_shared = max(64, int(vocab_size * shared_frac))
+    return n_shared, (vocab_size - n_shared) // n_topics

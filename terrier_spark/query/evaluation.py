@@ -129,6 +129,55 @@ def evaluate_named_page(
     }
 
 
+def normalize_trec_qid(qid: str) -> str:
+    """Strip non-numeric characters from a query id, as the reference's
+    full-query evaluation does before qrels lookup
+    (org/terrier/evaluation/AdhocFullQueryEvaluation.java:108-114)."""
+    return "".join(c for c in str(qid) if c.isdigit())
+
+
+def evaluate_full_query(
+    results: pd.DataFrame,
+    qrels: Mapping[str, set],
+    doc_col: str = "docno",
+) -> Dict[str, object]:
+    """Query-by-query evaluation of a run — "like trec_eval -q"
+    (org/terrier/evaluation/AdhocFullQueryEvaluation.java:40-76): query
+    ids are numeric-normalised before the qrels lookup, queries without
+    judgements are skipped, and every AdhocEvaluation measure is
+    reported PER QUERY alongside the usual averages.
+
+    -> {"per_query": {qid: {AP, R_precision, P_at, num_relevant,
+    num_retrieved, num_relevant_retrieved}}, "aggregate": <the
+    evaluate_run() dict over the same normalised run>}."""
+    norm = results.copy()
+    norm["qid"] = [normalize_trec_qid(q) for q in norm["qid"]]
+    qrels_norm: Dict[str, set] = {}
+    for qid, docs in qrels.items():
+        qrels_norm.setdefault(normalize_trec_qid(qid), set()).update(docs)
+    per_query: Dict[str, dict] = {}
+    for qid, grp in norm.groupby("qid"):
+        relevant = qrels_norm.get(str(qid))
+        if not relevant:
+            continue  # unjudged: skipped (:116-117)
+        one = evaluate_run(grp, {str(qid): relevant}, doc_col=doc_col)
+        docs = [str(d) for d in grp.sort_values("rank")[doc_col]]
+        per_query[str(qid)] = {
+            "AP": one["MAP"],
+            "R_precision": one["R_precision"],
+            "P_at": one["P_at"],
+            "num_relevant": len(relevant),
+            "num_retrieved": len(docs),
+            "num_relevant_retrieved": sum(
+                1 for d in docs if d in relevant
+            ),
+        }
+    return {
+        "per_query": per_query,
+        "aggregate": evaluate_run(norm, qrels_norm, doc_col=doc_col),
+    }
+
+
 def evaluate_run(
     results: pd.DataFrame,
     qrels: Mapping[str, set],

@@ -311,3 +311,59 @@ def search_with_expansion(
     expanded = expand_queries(spark, store, queries, qcfg, fb_docs,
                               fb_terms, qe_model)
     return search_terms(spark, store, expanded, qcfg)
+
+
+def normalise_enrichment_query(text: str) -> str:
+    """CollectionEnrichment.normaliseString
+    (org/terrier/applications/secondary/CollectionEnrichment.java:60-92):
+    lower-case, strip query punctuation/operators, drop ` and`/` or`,
+    and reduce `field:term` to the bare term."""
+    t = text.lower()
+    for ch in ("(", ")", '"', "'", "?", ",", "."):
+        t = t.replace(ch, " ")
+    t = t.replace(" and", " ").replace(" or", " ")
+    t = t.replace("  ", " ")
+    for ch in ("+", "[", "]"):
+        t = t.replace(ch, "")
+    parts = []
+    for term in t.strip().split(" "):
+        if ":" in term:
+            term = (term.replace(":", "") if term.endswith(":")
+                    else term.split(":")[1])
+        if term:  # the reference keeps empty split artifacts; drop them
+            parts.append(term)
+    return " ".join(parts)
+
+
+def get_expansion_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    model: str = "BM25",
+    qe_model: str = "Bo1",
+    n_docs: int = EXPANSION_DOCS,
+    n_terms: int = EXPANSION_TERMS,
+) -> list:
+    """CollectionEnrichment.getExpansionTerms
+    (org/terrier/applications/secondary/CollectionEnrichment.java:28-58):
+    normalise one query, run PRF under (model, qe_model, n_docs,
+    n_terms), and return the expanded query as `term^weight` strings —
+    the reference's `QE.ExpandedQuery` control value, exposed as a
+    convenience over expand_queries()."""
+    from dataclasses import replace
+
+    from terrier_spark.config import QueryConfig
+
+    qcfg = replace(QueryConfig(), model=model)
+    expanded = expand_queries(
+        spark, store, [("ce", normalise_enrichment_query(query))],
+        qcfg, fb_docs=n_docs, fb_terms=n_terms, qe_model=qe_model,
+    )
+    expanded = expanded.sort_values(
+        ["qtf", "term"], ascending=[False, True]
+    )
+    def fmt(w: float) -> str:
+        s = f"{w:.9f}".rstrip("0").rstrip(".")
+        return s or "0"
+
+    return [f"{r.term}^{fmt(r.qtf)}" for r in expanded.itertuples()]

@@ -260,6 +260,7 @@ def search(
     queries: Sequence[Tuple[str, str]],
     qcfg: Optional[QueryConfig] = None,
     with_meta: bool = False,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Batch retrieval -> DataFrame (qid, rank, docid, score[, docno]).
 
@@ -269,6 +270,7 @@ def search(
         spark, store,
         process_queries(queries, store.pipeline_config()),
         qcfg, with_meta,
+        stats_out=stats_out,
     )
 
 
@@ -279,6 +281,7 @@ def search_terms(
     qcfg: Optional[QueryConfig] = None,
     with_meta: bool = False,
     _survivors_pdf: Optional[pd.DataFrame] = None,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Like search(), but takes pre-pipelined weighted terms directly:
     a pandas frame (qid, term, qtf) with float qtf allowed — the entry
@@ -457,7 +460,7 @@ def search_terms(
         joined_pruned, surv_pdf = _prune_buckets(
             spark, joined, qcfg, N, avgdl, T_eff, eager=True,
             spec=spec, field_params=field_params, ms_idx=ms_idx,
-            return_survivors=True,
+            return_survivors=True, stats_out=stats_out,
         )
         per_qid_cells = surv_pdf.groupby("qid")["cells"].sum().rename(
             index=lambda c: qid_labels[c]
@@ -480,6 +483,7 @@ def search_terms(
             spark, joined, qcfg, N, avgdl, T_eff,
             eager=n_queries >= qcfg.prune_eager_min_queries,
             spec=spec, field_params=field_params, ms_idx=ms_idx,
+            stats_out=stats_out,
         )
     default_par = spark.sparkContext.defaultParallelism
     n_queries = int(qstats["qid"].nunique())
@@ -559,7 +563,8 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
                    N: int, avgdl: float, T: int,
                    eager: bool = True, spec=None,
                    field_params=None, ms_idx=None,
-                   return_survivors: bool = False):
+                   return_survivors: bool = False,
+                   stats_out: Optional[dict] = None):
     """Block-max WAND-style bucket pruning, bound-safe two-pass:
 
     pass 1  exact-score the single most-promising bucket per query (by
@@ -716,6 +721,19 @@ def _prune_buckets(spark, joined: DataFrame, qcfg: QueryConfig,
             )
         else:
             survivors = survivors.drop("cells")
+        if stats_out is not None:
+            # diagnostic counters (pruning_bench.py): how much of the
+            # candidate (qid, bucket) space pass 2 actually dropped —
+            # extra count jobs, only paid when a caller asks
+            stats_out["candidate_buckets"] = int(bucket_ub.count())
+            stats_out["surviving_buckets"] = (
+                len(surv_pdf) if surv_pdf is not None
+                else int(survivors.count())
+            )
+            stats_out["pruned_fraction"] = round(
+                1.0 - stats_out["surviving_buckets"]
+                / max(stats_out["candidate_buckets"], 1), 4
+            )
     finally:
         if eager:
             bucket_ub.unpersist()

@@ -504,3 +504,65 @@ def test_language_id_hard_fixture(spark):
     expected = {i: lang for i, _, lang in docs}
     wrong = {i: (got[i], expected[i]) for i in expected if got[i] != expected[i]}
     assert not wrong, f"misclassified: {wrong}"
+
+
+def test_language_id_trigram_zero_function_words(spark):
+    """Content with ZERO function words — compound nouns, technical
+    vocabulary — where the lexicon vote can only say 'und'.  The
+    trigram profiles (derived from the same function-word inventories)
+    must recover the orthography; language_id_combined must route these
+    through the trigram fallback while leaving lexicon-decidable docs
+    untouched."""
+    from terrier_spark.datapipe.textstats import (
+        language_id_combined,
+        language_id_trigram,
+    )
+
+    docs = [
+        (0, "Schmetterling Geschwindigkeit Wissenschaft", "de"),
+        (1, "ylläpitää järjestelmää käyttäjälle", "fi"),
+        (2, "gelişmiş uygulamaları çalıştırıyor", "tr"),
+        (3, "développeur présentation vérification", "fr"),
+        (4, "желательно проверить настройки быстро", "ru"),
+        (5, "fantastische ontwikkelingen mogelijkheden", "nl"),
+        (6, "funzionalità dell'applicazione velocemente", "it"),
+        (7, "utvecklingsmöjligheter förbättringar", "sv"),
+        (8, "straightforward implementation thoroughly", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    # the lexicon-only operator sees zero hits everywhere
+    lex = {r["id"]: r["lang_guess"] for r in language_id(df).collect()}
+    assert all(v == "und" for v in lex.values()), lex
+    # the trigram profiles classify all of them
+    tri = {r["id"]: r["lang_guess"]
+           for r in language_id_trigram(df).collect()}
+    assert tri == {i: lang for i, _, lang in docs}, tri
+    # combined routes them through the trigram fallback
+    comb = {r["id"]: (r["lang_guess"], r["source"])
+            for r in language_id_combined(df).collect()}
+    assert comb == {i: (lang, "trigram") for i, _, lang in docs}, comb
+
+
+def test_language_id_combined_lexicon_precedence(spark):
+    """Docs WITH function-word hits must keep the lexicon verdict
+    (higher precision), trigram only filling the zero-hit gap; empty /
+    letterless docs stay 'und'."""
+    from terrier_spark.datapipe.textstats import language_id_combined
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the park in the morning"),
+            (1, "Schmetterling Geschwindigkeit"),
+            (2, "12345 !!! ???"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["lang_guess"], r["source"])
+           for r in language_id_combined(df).collect()}
+    assert got[0] == ("en", "lexicon")
+    assert got[1] == ("de", "trigram")
+    assert got[2] == ("und", "none")
+    assert got[3] == ("und", "none")

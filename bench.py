@@ -176,6 +176,13 @@ def main() -> None:
         all_times["per_query_sorted"] = [round(x, 3) for x in lat]
 
         load_after = os.getloadavg()
+        # settle before the closing probe: sampled immediately after ~20
+        # minutes of all-core load, the probe reads the bench's OWN
+        # thermal/turbo wind-down (observed +-9-24% drift on a box with
+        # 1-min loadavg 0.01-0.09 at start), not external contention —
+        # which is the only thing quiet_box is supposed to detect.
+        # External load persists through a 15 s pause; self-load does not.
+        time.sleep(15)
         probe_after = cpu_probe()
 
         total = sum(phases.values())

@@ -142,7 +142,10 @@ def main() -> None:
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="pruning_bench_", dir=shm)
-    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    # the k=1000 UNPRUNED batch holds ~2-3e8 (qid, docid) agg cells in
+    # the single local-mode JVM; 48g keeps the comparison arm honest
+    # (an OOM-retry there would fake a pruning win)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count()))
     spark = get_spark("pruning-bench", cpus=os.cpu_count(),
                       shuffle_partitions=os.cpu_count())
@@ -239,6 +242,7 @@ def main() -> None:
         }
 
         load_after = [round(x, 2) for x in os.getloadavg()]
+        time.sleep(15)  # settle: probe external load, not our wind-down
         probe_after = cpu_probe()
         report["host_load"] = {
             "loadavg_before": load_before, "loadavg_after": load_after,

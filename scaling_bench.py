@@ -64,6 +64,10 @@ def _host_load_finish(block: dict) -> bool:
     from bench import cpu_probe, quiet_box
 
     block["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    # settle before the closing probe (same rationale as bench.py:
+    # sampled immediately after a long all-core run it reads the
+    # bench's own wind-down, not external load)
+    time.sleep(15)
     block["cpu_probe_sec_after"] = cpu_probe()
     return quiet_box(block["loadavg_before"],
                      block["cpu_probe_sec_before"],

@@ -27,6 +27,24 @@ reordering compression experiment: postings_compact bytes under ingest
 order vs (repo, path) order on the same corpus.
 
 Output: BENCH_PRUNING.json (quiet_box-stamped like the other benches).
+
+Knobs (env):
+  PRUNING_DOCS/VOCAB/TOPICS/BUCKET_SPAN/REPS  corpus + protocol sizing
+  PRUNING_CPUS      session cores (default all) — the "small node" arm
+                    runs the same batches at e.g. 4 cores (pin the
+                    process tree with taskset for a honest core count)
+  PRUNING_ROOT      persistent work dir: corpus + indexes are REUSED
+                    when already built there (so the small-node arm
+                    reuses the protocol run's indexes); default = a
+                    tempdir, removed at exit
+  PRUNING_INDEXES   comma list of index variants to build/use
+                    (default "reordered,ingest")
+  PRUNING_ARMS      comma list of timed arms `index_kN`
+                    (default "reordered_k10,reordered_k1000,ingest_k10")
+  PRUNING_FRACTIONS / PRUNING_CHECKS   "0" skips the diagnostic
+                    fraction passes / pruned==unpruned checks
+  PRUNING_TAG       suffix for the output file (e.g. SMALLNODE ->
+                    BENCH_PRUNING_SMALLNODE.json)
 """
 
 from __future__ import annotations
@@ -45,6 +63,7 @@ VOCAB = int(os.environ.get("PRUNING_VOCAB", "50000"))
 TOPICS = int(os.environ.get("PRUNING_TOPICS", "50"))
 BUCKET_SPAN = int(os.environ.get("PRUNING_BUCKET_SPAN", "8192"))
 REPS = int(os.environ.get("PRUNING_REPS", "3"))
+CPUS = int(os.environ.get("PRUNING_CPUS", str(os.cpu_count())))
 SEED = 42
 
 
@@ -137,80 +156,107 @@ def main() -> None:
     from terrier_spark.index.store import IndexStore
     from terrier_spark.session import get_spark
 
+    index_names = os.environ.get(
+        "PRUNING_INDEXES", "reordered,ingest").split(",")
+    arms = [a for a in os.environ.get(
+        "PRUNING_ARMS", "reordered_k10,reordered_k1000,ingest_k10"
+    ).split(",") if a]  # PRUNING_ARMS="" -> build/diagnostics only
+    do_fractions = os.environ.get("PRUNING_FRACTIONS", "1") == "1"
+    do_checks = os.environ.get("PRUNING_CHECKS", "1") == "1"
+    tag = os.environ.get("PRUNING_TAG", "")
+
     load_before = [round(x, 2) for x in os.getloadavg()]
     probe_before = cpu_probe()
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    root = tempfile.mkdtemp(prefix="pruning_bench_", dir=shm)
+    root = os.environ.get("PRUNING_ROOT")
+    keep_root = root is not None
+    if root:
+        os.makedirs(root, exist_ok=True)
+    else:
+        root = tempfile.mkdtemp(prefix="pruning_bench_", dir=shm)
     # the k=1000 UNPRUNED batch holds ~2-3e8 (qid, docid) agg cells in
     # the single local-mode JVM; 48g keeps the comparison arm honest
     # (an OOM-retry there would fake a pruning win)
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
-    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count()))
-    spark = get_spark("pruning-bench", cpus=os.cpu_count(),
-                      shuffle_partitions=os.cpu_count())
+    # shuffle partitions never drop below 32 even on the small-node arm:
+    # per-task agg state is what OOMs, and fewer cores only cap
+    # concurrency, not per-task volume
+    spark = get_spark("pruning-bench", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
+    cfg_of = {
+        "reordered": IndexConfig(sort_docids_by=("repo", "path")),
+        "ingest": IndexConfig(),
+    }
     report: dict = {
         "metric": "block-max pruning wall-clock win on a topical corpus",
         "protocol": {
             "docs": DOCS, "vocab": VOCAB, "topics": TOPICS,
             "bucket_span": BUCKET_SPAN, "meas_reps": REPS,
             "queries": 900, "corpus": "synth_topical_corpus",
+            "cpus": CPUS, "arms": arms,
         },
     }
     try:
-        # generate once, persist: both index builds read identical bytes
+        # generate once, persist: every index build reads identical bytes
         corpus_path = os.path.join(root, "corpus.parquet")
-        synth_topical_corpus(
-            spark, DOCS, vocab_size=VOCAB, n_topics=TOPICS, seed=SEED
-        ).write.parquet(corpus_path)
-        progress("corpus written")
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            synth_topical_corpus(
+                spark, DOCS, vocab_size=VOCAB, n_topics=TOPICS, seed=SEED
+            ).write.mode("overwrite").parquet(corpus_path)
+            progress("corpus written")
         corpus = spark.read.parquet(corpus_path)
 
         stores = {}
-        for name, cfg in (
-            ("reordered", IndexConfig(sort_docids_by=("repo", "path"))),
-            ("ingest", IndexConfig()),
-        ):
+        for name in index_names:
             idx_dir = os.path.join(root, f"idx_{name}")
-            t0 = time.time()
-            st = build_index_resumable(spark, corpus, idx_dir, cfg,
-                                       bucket_span=BUCKET_SPAN)
-            st = compact_postings(spark, st)
-            stores[name] = st
-            report[f"{name}_build_sec"] = round(time.time() - t0, 3)
-            progress(f"index {name} built in "
-                     f"{report[name + '_build_sec']}s")
+            if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+                stores[name] = IndexStore(idx_dir)
+                progress(f"index {name} reused from {idx_dir}")
+            else:
+                t0 = time.time()
+                st = build_index_resumable(spark, corpus, idx_dir,
+                                           cfg_of[name],
+                                           bucket_span=BUCKET_SPAN)
+                st = compact_postings(spark, st)
+                stores[name] = st
+                report[f"{name}_build_sec"] = round(time.time() - t0, 3)
+                progress(f"index {name} built in "
+                         f"{report[name + '_build_sec']}s")
             report[f"{name}_postings_bytes"] = dir_bytes(
                 os.path.join(idx_dir, "postings_compact")
             )
-        report["reorder_compression_ratio"] = round(
-            report["ingest_postings_bytes"]
-            / report["reordered_postings_bytes"], 4
-        )
+        if {"reordered", "ingest"} <= set(stores):
+            report["reorder_compression_ratio"] = round(
+                report["ingest_postings_bytes"]
+                / report["reordered_postings_bytes"], 4
+            )
 
         queries = make_topical_queries()
         runs = {}
-        for index_name, ks in (("reordered", (10, 1000)), ("ingest", (10,))):
+        arm_pairs = []
+        for arm in arms:
+            index_name, k_s = arm.rsplit("_k", 1)
+            arm_pairs.append((index_name, int(k_s)))
+        for index_name, k in arm_pairs:
             st = stores[index_name]
-            for k in ks:
-                for prune in (True, False):
-                    qcfg = QueryConfig(k=k, prune=prune)
-                    best, times, n_rows = timed_batch(
-                        spark, st, queries, qcfg, REPS
-                    )
-                    progress(f"batch {index_name} k={k} "
-                             f"prune={prune}: best={best}s "
-                             f"all={times} rows={n_rows}")
-                    runs[f"{index_name}_k{k}_prune{int(prune)}"] = {
-                        "warm_sec_best": best,
-                        "warm_sec_all": times,
-                        "queries_per_sec": round(len(queries) / best, 2),
-                        "result_rows": n_rows,
-                    }
+            for prune in (True, False):
+                qcfg = QueryConfig(k=k, prune=prune)
+                best, times, n_rows = timed_batch(
+                    spark, st, queries, qcfg, REPS
+                )
+                progress(f"batch {index_name} k={k} "
+                         f"prune={prune}: best={best}s "
+                         f"all={times} rows={n_rows}")
+                runs[f"{index_name}_k{k}_prune{int(prune)}"] = {
+                    "warm_sec_best": best,
+                    "warm_sec_all": times,
+                    "queries_per_sec": round(len(queries) / best, 2),
+                    "result_rows": n_rows,
+                }
         report["runs"] = runs
-        for index_name, k in (("reordered", 10), ("reordered", 1000),
-                              ("ingest", 10)):
+        for index_name, k in arm_pairs:
             on = runs[f"{index_name}_k{k}_prune1"]["warm_sec_best"]
             off = runs[f"{index_name}_k{k}_prune0"]["warm_sec_best"]
             report[f"{index_name}_k{k}_prune_speedup"] = round(off / on, 3)
@@ -219,27 +265,26 @@ def main() -> None:
         # the engine's own two-pass prune)
         from terrier_spark.query.search import search
 
-        fractions = {}
-        for index_name in ("reordered", "ingest"):
-            for k in (10, 1000):
-                stats: dict = {}
-                search(spark, stores[index_name], queries,
-                       QueryConfig(k=k, prune=True),
-                       stats_out=stats).count()
-                fractions[f"{index_name}_k{k}"] = stats
-                progress(f"fractions {index_name} k={k}: {stats}")
-        report["prune_fractions"] = fractions
+        if do_fractions:
+            fractions = {}
+            for index_name in stores:
+                for k in (10, 1000):
+                    stats: dict = {}
+                    search(spark, stores[index_name], queries,
+                           QueryConfig(k=k, prune=True),
+                           stats_out=stats).count()
+                    fractions[f"{index_name}_k{k}"] = stats
+                    progress(f"fractions {index_name} k={k}: {stats}")
+            report["prune_fractions"] = fractions
 
         # correctness: pruning must not change a single row
-        sample = queries[::15]  # 60 queries across all length buckets
-        report["pruned_equals_unpruned"] = {
-            "reordered_k10": exact_match_check(
-                spark, stores["reordered"], sample, 10),
-            "reordered_k1000": exact_match_check(
-                spark, stores["reordered"], sample, 1000),
-            "ingest_k10": exact_match_check(
-                spark, stores["ingest"], sample, 10),
-        }
+        if do_checks:
+            sample = queries[::15]  # 60 queries across all length buckets
+            checks = {}
+            for index_name, k in arm_pairs:
+                checks[f"{index_name}_k{k}"] = exact_match_check(
+                    spark, stores[index_name], sample, k)
+            report["pruned_equals_unpruned"] = checks
 
         load_after = [round(x, 2) for x in os.getloadavg()]
         time.sleep(15)  # settle: probe external load, not our wind-down
@@ -256,13 +301,18 @@ def main() -> None:
             and REPS >= 3 and BUCKET_SPAN == 8192
         )
         print(json.dumps(report, indent=2))
-        out = ("BENCH_PRUNING.json" if report["protocol_compliant"]
-               else "BENCH_PRUNING_adhoc.json")
+        if tag:
+            out = f"BENCH_PRUNING_{tag}.json"
+        elif report["protocol_compliant"] and CPUS == os.cpu_count():
+            out = "BENCH_PRUNING.json"
+        else:
+            out = "BENCH_PRUNING_adhoc.json"
         with open(out, "w") as fh:
             json.dump(report, fh, indent=2)
         print(f"wrote {out}")
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep_root:
+            shutil.rmtree(root, ignore_errors=True)
         spark.stop()
 
 

@@ -259,9 +259,17 @@ def query_worker(cpus: int) -> None:
         # only fair when the plan does identical work; (b) partitions =
         # cpus put ~50M agg cells in each of 4 tasks at the low level
         # and OOMed a 20G executor heap (measured) — 64 bounds per-task
-        # state at any level, and cores still cap concurrency
+        # state at any level, and cores still cap concurrency.
+        # AQE partition COALESCING must stay off here: it sizes by
+        # shuffle BYTES, and once the decode exchange moved to int32
+        # qids the bytes shrank enough that it re-coalesced the agg
+        # exchange to 4 tasks and re-created exactly the per-task-state
+        # OOM the fixed 64 exists to prevent (hash-agg state per row is
+        # ~2-3x its wire footprint, so byte-based coalescing
+        # underestimates memory).
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")

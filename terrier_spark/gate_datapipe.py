@@ -673,6 +673,74 @@ def _image_meta_sql() -> str:
     )
 
 
+def q_av_metadata(spark, sf_dir):
+    # payloads carry REAL audio/video container headers (RIFF/WAVE fmt
+    # + data chunks, FLAC STREAMINFO, MPEG1-LayerIII frame sync behind
+    # an ID3v2 envelope, ISO-BMFF mvhd/tkhd) built by synth_av_media;
+    # the engine must recover (format, codec, layout, duration, dims)
+    # from the BYTES — the oracle enumerates the generator's parameters
+    from terrier_spark.datapipe.avmeta import av_metadata, synth_av_media
+
+    media = synth_av_media(spark, n=40)
+    out = av_metadata(media)
+    # absent fields (audio has no dims, mp4 no sample layout) -> -1
+    # sentinels in the GATE ONLY: the driver's value-hash comparison has
+    # no tested NULL convention; the API keeps real NULLs (test_avmeta)
+    return out.select(
+        "media_id", "format", "codec",
+        *[F.coalesce(F.col(c), F.lit(-1)).alias(c)
+          for c in ("channels", "sample_rate", "bit_depth",
+                    "duration_ms", "width", "height")],
+    )
+
+
+def _av_meta_sql() -> str:
+    """Oracle for q_av_metadata: the VALUES are the deterministic
+    generator PARAMETERS of synth_av_media (inputs regenerated, not
+    parser logic duplicated) — the engine side has to parse the actual
+    binary headers to match them."""
+    from terrier_spark.datapipe.avmeta import _MP3_BITRATE
+
+    rows = []
+    for i in range(40):
+        kind = i % 4
+        w = h = ch = rate = bits = -1   # the gate's NULL sentinel
+        if kind == 0:
+            fmt, codec = "'wav'", "'pcm'"
+            rate = (8000, 16000, 44100, 48000)[(i // 4) % 4]
+            ch, bits = 1 + (i % 2), (8, 16, 24, 32)[(i // 8) % 4]
+            n_samples = 100 + 37 * (i % 11)
+            dur = n_samples * 1000 // rate
+        elif kind == 1:
+            fmt, codec = "'flac'", "'flac'"
+            rate = (22050, 44100, 48000, 96000)[(i // 4) % 4]
+            ch, bits = 1 + (i % 3), (16, 24)[(i // 8) % 2]
+            total = 1000 + 503 * (i % 13)
+            dur = total * 1000 // rate
+        elif kind == 2:
+            fmt, codec = "'mp3'", "'mpeg1_layer3'"
+            kbps = _MP3_BITRATE[(0, 3)][1 + (i % 14)]
+            rate = (44100, 48000, 32000)[(i // 4) % 3]
+            ch = 1 if i % 8 == 2 else 2
+            audio_bytes = 2000 + 997 * (i % 7)
+            dur = audio_bytes * 8 * 1000 // (kbps * 1000)
+        else:
+            fmt, codec = "'mp4'", "'isom'"
+            dur = (1 + (i % 29)) * 1000
+            w, h = 160 + 16 * (i % 9), 90 + 18 * (i % 7)
+        rows.append(f"({i}, {fmt}, {codec}, {ch}, {rate}, {bits}, "
+                    f"{dur}, {w}, {h})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, format, codec,"
+        " channels::INT AS channels, sample_rate::INT AS sample_rate,"
+        " bit_depth::INT AS bit_depth, duration_ms::BIGINT AS duration_ms,"
+        " width::INT AS width, height::INT AS height\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, format, codec, channels, sample_rate,"
+        " bit_depth, duration_ms, width, height)"
+    )
+
+
 def _multimodal_sql() -> str:
     """Mirror of decode_features over the synth_media table: the payload
     hex strings ARE the input data (inlined as VALUES); the feature is
@@ -955,6 +1023,7 @@ DATAPIPE_QUERIES = {
     "char_fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     "image_metadata": q_image_metadata,
+    "av_metadata": q_av_metadata,
     "language_id_trigram": q_lang_id_trigram,
 }
 
@@ -977,5 +1046,6 @@ DATAPIPE_ORACLE_SQL = {
     "ivf_cosine_topk": _ivf_sql(),
     "multimodal_features": _multimodal_sql(),
     "image_metadata": _image_meta_sql(),
+    "av_metadata": _av_meta_sql(),
     "language_id_trigram": _lang_trigram_sql(),
 }

@@ -175,6 +175,64 @@ def make_bmp(width: int, height: int, bpp: int = 24,
     return file_hdr + info + junk
 
 
+def synth_pixel_media(spark, n: int = 30) -> DataFrame:
+    """Media table whose payloads are FULLY-VALID encoded images (PNG
+    gray/RGB/RGBA across all five scanline filters, 24bpp BMP, GIF) of a
+    deterministic pixel field — a pure function of the row id:
+
+        pixel[y, x, c] = (3*x + 7*y + 31*c + 17*i) % 256
+        w = 8 + i % 13,  h = 8 + i % 11,  kind = i % 5
+
+    so pixel statistics can be recomputed independently of the codecs
+    (the DuckDB gate oracle regenerates the FORMULA; the engine has to
+    decode the actual encoded bytes to match it)."""
+    from terrier_spark.datapipe.imagecodec import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    rows = []
+    for i in range(n):
+        arr = synth_pixel_array(i)
+        kind = i % 5
+        if kind == 0:
+            payload, mime = encode_png(arr, filter_type=i % 5), "image/png"
+        elif kind == 1:
+            payload, mime = encode_png(arr, filter_type=(i // 5) % 5), \
+                "image/png"
+        elif kind == 2:
+            payload, mime = encode_png(arr, filter_type=(i // 7) % 5), \
+                "image/png"
+        elif kind == 3:
+            payload, mime = encode_bmp(arr), "image/bmp"
+        else:
+            payload, mime = encode_gif(arr), "image/gif"
+        h, w = arr.shape[:2]
+        rows.append((i, "image", mime, int(w), int(h), None,
+                     bytearray(payload)))
+    from terrier_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_pixel_array(i: int):
+    """The deterministic pixel field behind synth_pixel_media: gray for
+    kinds 0 (PNG-L) and 4 (GIF), RGB for kinds 1 (PNG) and 3 (BMP),
+    RGBA for kind 2 (PNG)."""
+    import numpy as np
+
+    w, h = 8 + i % 13, 8 + i % 11
+    kind = i % 5
+    channels = {0: None, 1: 3, 2: 4, 3: 3, 4: None}[kind]
+    y, x = np.mgrid[0:h, 0:w]
+    if channels is None:
+        return ((3 * x + 7 * y + 17 * i) % 256).astype(np.uint8)
+    c = np.arange(channels)[None, None, :]
+    return ((3 * x[:, :, None] + 7 * y[:, :, None] + 31 * c + 17 * i)
+            % 256).astype(np.uint8)
+
+
 def synth_image_media(spark, n: int = 40, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads carry REAL container
     headers (dims a pure function of the row id), so header-derived

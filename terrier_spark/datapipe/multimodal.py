@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode kernels themselves are STUBBED (image/audio libraries are not
-in this environment): `decoder="fake"` produces deterministic features
-from the bytes (sha-seeded), `decoder="real"` raises NotImplementedError
-at the point where PIL/ffmpeg would be called.  Everything Spark-side —
-schemas, batch iteration, partition sizing, UDF signatures — is real and
-tested, so dropping in a real decoder is a one-function change.
+Decode kernels: `decoder="real"` uses the pure-stdlib pixel codecs in
+imagecodec.py (PNG/BMP/GIF decode, numpy resize, PNG re-encode) — no
+PIL needed.  JPEG pixel decode (DCT+Huffman) and video frame extraction
+still need codec libraries absent from this environment: those paths
+raise NotImplementedError (per-payload JPEGs degrade to null features,
+documented below).  `decoder="fake"` produces deterministic sha-seeded
+features for plumbing tests.  Everything Spark-side — schemas, batch
+iteration, partition sizing, UDF signatures — is real and tested.
 """
 
 from __future__ import annotations
@@ -40,30 +42,63 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+def _real_features(payload: bytes, dim: int = FEATURE_DIM):
+    """Pixel-derived features via the pure-stdlib codecs: 8 shape/stat
+    slots (w, h, channels, mean, std, min, max, aspect — all scaled to
+    ~[0,1]) + an 8-bin mean-luminance histogram.  Returns None for
+    payloads whose pixels are not stdlib-decodable (JPEG, non-image)."""
+    from terrier_spark.datapipe.imagecodec import decode_image
+
+    dec = decode_image(payload)
+    if dec is None:
+        return None
+    arr, _fmt = dec
+    h, w = arr.shape[:2]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    px = arr.astype(np.float64)
+    lum = px if arr.ndim == 2 else px.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    hist = hist / max(lum.size, 1)
+    head = np.array([
+        w / 4096.0, h / 4096.0, c / 4.0,
+        float(px.mean()) / 255.0, float(px.std()) / 255.0,
+        float(px.min()) / 255.0, float(px.max()) / 255.0,
+        min(w / max(h, 1), 8.0) / 8.0,
+    ])
+    return np.concatenate([head, hist])[:dim].astype(np.float32)
+
+
 def decode_features(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id",
                     decoder: str = "fake") -> DataFrame:
     """binary payload -> feature vector (array<float>), Arrow-batched.
-    -> (media_id, n_bytes, feature array<float>)."""
+    -> (media_id, n_bytes, feature array<float>).  decoder="real"
+    decodes PNG/BMP/GIF pixels (imagecodec.py) and emits pixel-stat
+    features; undecodable payloads get NULL features (kept, not
+    dropped — curation filters on `feature IS NULL`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg, not present in "
-                    "this environment; use decoder='fake'"
-                )
             payloads = pdf[payload_col]
+            if decoder == "real":
+                feats = [
+                    (lambda f: f.tolist() if f is not None else None)(
+                        _real_features(b)
+                    )
+                    for b in payloads
+                ]
+            else:
+                feats = [
+                    _fake_features(b if b is not None else b"").tolist()
+                    for b in payloads
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].to_numpy(),
                     "n_bytes": payloads.map(
                         lambda b: len(b) if b is not None else 0
                     ).to_numpy(np.int64),
-                    "feature": [
-                        _fake_features(b if b is not None else b"").tolist()
-                        for b in payloads
-                    ],
+                    "feature": feats,
                 }
             )
 
@@ -72,20 +107,88 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Real pixel decode -> per-image statistics, Arrow-batched.
+    -> (media_id, format, width, height, channels, pix_sum, pix_min,
+    pix_max); rows whose pixels are not stdlib-decodable yield nulls
+    (kept, not dropped)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.datapipe.imagecodec import decode_image
+
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_image(b)
+                if dec is None:
+                    recs.append((mid, None, None, None, None, None,
+                                 None, None))
+                    continue
+                arr, fmt = dec
+                h, w = arr.shape[:2]
+                c = 1 if arr.ndim == 2 else arr.shape[2]
+                recs.append((mid, fmt, w, h, c,
+                             int(arr.sum(dtype=np.int64)),
+                             int(arr.min()), int(arr.max())))
+            out = pd.DataFrame(
+                recs, columns=["media_id", "format", "width", "height",
+                               "channels", "pix_sum", "pix_min", "pix_max"])
+            for col in ("width", "height", "channels", "pix_min", "pix_max"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            out["pix_sum"] = pd.array(out["pix_sum"], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, format string, width int, height int, "
+               "channels int, pix_sum long, pix_min int, pix_max int",
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload",
                   decoder: str = "fake") -> DataFrame:
-    """Image resize stage: fake mode passes bytes through and records the
-    target shape (the schema/partitioning contract a real PIL kernel
-    would honor)."""
+    """Image resize stage.  decoder="real": decode PNG/BMP/GIF pixels
+    (imagecodec.py), nearest-neighbor resample to (width, height), and
+    re-encode as PNG — payload/mime/dims all updated; rows whose pixels
+    are not stdlib-decodable pass through unchanged (filter on
+    mime != 'image/png' afterwards to find them).  Fake mode passes the
+    bytes through and records the target shape (the original plumbing
+    contract, kept for tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.datapipe.imagecodec import (
+            decode_image,
+            encode_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("PIL not available; decoder='fake'")
             out = pdf.copy()
-            out["width"] = np.int32(width)
-            out["height"] = np.int32(height)
+            if decoder == "real":
+                new_payload, new_mime, new_w, new_h = [], [], [], []
+                for b, mime, w0, h0 in zip(out[payload_col], out["mime"],
+                                           out["width"], out["height"]):
+                    dec = decode_image(b)
+                    if dec is None:   # pass through, dims untouched
+                        new_payload.append(b)
+                        new_mime.append(mime)
+                        new_w.append(w0)
+                        new_h.append(h0)
+                    else:
+                        arr = resize_nearest(dec[0], width, height)
+                        new_payload.append(bytearray(encode_png(arr)))
+                        new_mime.append("image/png")
+                        new_w.append(width)
+                        new_h.append(height)
+                out[payload_col] = new_payload
+                out["mime"] = new_mime
+                out["width"] = pd.array(new_w, dtype="Int32")
+                out["height"] = pd.array(new_h, dtype="Int32")
+            else:
+                out["width"] = np.int32(width)
+                out["height"] = np.int32(height)
             yield out
 
     return df.mapInPandas(run, schema=df.schema)

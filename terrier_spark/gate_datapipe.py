@@ -673,6 +673,49 @@ def _image_meta_sql() -> str:
     )
 
 
+def q_image_decode_pixels(spark, sf_dir):
+    # payloads are FULLY-VALID encoded images (PNG x all five filters,
+    # BMP, GIF-LZW) of a deterministic pixel formula; the engine must
+    # run the real pure-stdlib pixel decoders (imagecodec.py) over the
+    # bytes — the oracle recomputes the stats from the FORMULA, never
+    # touching the codecs
+    from terrier_spark.datapipe.imagemeta import synth_pixel_media
+    from terrier_spark.datapipe.multimodal import image_pixel_stats
+
+    media = synth_pixel_media(spark, n=30)
+    return image_pixel_stats(media)
+
+
+def _image_pixels_sql() -> str:
+    """Oracle for q_image_decode_pixels: per-image stats recomputed with
+    numpy from synth_pixel_array's closed-form pixel field (GIF decodes
+    through a grayscale palette -> 3 replicated channels)."""
+    from terrier_spark.datapipe.imagemeta import synth_pixel_array
+
+    rows = []
+    for i in range(30):
+        arr = synth_pixel_array(i)
+        kind = i % 5
+        fmt = {0: "png", 1: "png", 2: "png", 3: "bmp", 4: "gif"}[kind]
+        h, w = arr.shape[:2]
+        if kind == 4:   # GIF: gray index -> RGB via (g,g,g) palette
+            channels, s = 3, 3 * int(arr.sum(dtype="int64"))
+        else:
+            channels = 1 if arr.ndim == 2 else arr.shape[2]
+            s = int(arr.sum(dtype="int64"))
+        rows.append(f"({i}, '{fmt}', {w}, {h}, {channels}, {s}, "
+                    f"{int(arr.min())}, {int(arr.max())})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, format, width::INT AS width,"
+        " height::INT AS height, channels::INT AS channels,"
+        " pix_sum::BIGINT AS pix_sum, pix_min::INT AS pix_min,"
+        " pix_max::INT AS pix_max\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, format, width, height, channels, pix_sum,"
+        " pix_min, pix_max)"
+    )
+
+
 def q_av_metadata(spark, sf_dir):
     # payloads carry REAL audio/video container headers (RIFF/WAVE fmt
     # + data chunks, FLAC STREAMINFO, MPEG1-LayerIII frame sync behind
@@ -1023,6 +1066,7 @@ DATAPIPE_QUERIES = {
     "char_fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     "image_metadata": q_image_metadata,
+    "image_decode_pixels": q_image_decode_pixels,
     "av_metadata": q_av_metadata,
     "language_id_trigram": q_lang_id_trigram,
 }
@@ -1046,6 +1090,7 @@ DATAPIPE_ORACLE_SQL = {
     "ivf_cosine_topk": _ivf_sql(),
     "multimodal_features": _multimodal_sql(),
     "image_metadata": _image_meta_sql(),
+    "image_decode_pixels": _image_pixels_sql(),
     "av_metadata": _av_meta_sql(),
     "language_id_trigram": _lang_trigram_sql(),
 }

@@ -318,8 +318,12 @@ def test_multimodal_plumbing(spark):
     fr = frames.collect()
     assert len(fr) > 0 and all(len(r["frame"]) == 32 for r in fr)
 
-    with pytest.raises(Exception):
-        decode_features(media, decoder="real").collect()
+    # real decoder: sha-digest payloads are not images -> NULL features,
+    # rows kept (the curation convention), byte counts still real
+    real = decode_features(media, decoder="real").collect()
+    assert len(real) == 12
+    assert all(r["feature"] is None for r in real)
+    assert all(r["n_bytes"] > 0 for r in real)
 
 
 def test_ivf_cosine_recall(spark, emb_df):

@@ -146,6 +146,97 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def audio_pcm_stats(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """Real WAV PCM decode -> exact integer per-clip statistics,
+    Arrow-batched.  -> (media_id, sample_rate, channels, n_frames,
+    samp_sum, samp_min, samp_max, zero_cross); non-WAV payloads yield
+    nulls (kept, not dropped)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.datapipe.audiocodec import audio_stats, decode_audio
+
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_audio(b)
+                if dec is None:
+                    recs.append((mid,) + (None,) * 7)
+                    continue
+                samples, rate = dec
+                s = audio_stats(samples.astype(np.int64)
+                                if samples.dtype.kind == "i" else
+                                np.round(samples * 32767).astype(np.int64))
+                recs.append((mid, rate, s["channels"], s["n_frames"],
+                             s["samp_sum"], s["samp_min"], s["samp_max"],
+                             s["zero_cross"]))
+            out = pd.DataFrame(
+                recs, columns=["media_id", "sample_rate", "channels",
+                               "n_frames", "samp_sum", "samp_min",
+                               "samp_max", "zero_cross"])
+            for col in ("sample_rate", "channels", "zero_cross"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            for col in ("n_frames", "samp_sum", "samp_min", "samp_max"):
+                out[col] = pd.array(out[col], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, sample_rate int, channels int, "
+               "n_frames long, samp_sum long, samp_min long, "
+               "samp_max long, zero_cross int",
+    )
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Real WAV decode -> float features for curation/similarity:
+    duration_ms, RMS and peak of the [-1,1]-normalized channel-0
+    signal, zero-crossing rate (per second), and the FFT spectral
+    centroid in Hz.  Non-WAV payloads yield nulls."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.datapipe.audiocodec import decode_audio
+
+        for pdf in batches:
+            recs = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_audio(b)
+                if dec is None:
+                    recs.append((mid,) + (None,) * 5)
+                    continue
+                samples, rate = dec
+                x = samples[:, 0].astype(np.float64)
+                if samples.dtype.kind == "i":
+                    # normalize by the implied full-scale of the data
+                    scale = float(max(np.abs(x).max(initial=1), 1))
+                    x = x / scale
+                dur = samples.shape[0] * 1000.0 / rate
+                rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                peak = float(np.abs(x).max(initial=0.0))
+                neg = x < 0
+                zcr = (float(np.count_nonzero(neg[:-1] != neg[1:]))
+                       * rate / max(x.size, 1))
+                if x.size >= 2:
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+                    tot = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / tot) if tot else 0.0
+                else:
+                    centroid = 0.0
+                recs.append((mid, dur, rms, peak, zcr, centroid))
+            out = pd.DataFrame(
+                recs, columns=["media_id", "duration_ms", "rms", "peak",
+                               "zcr_hz", "spectral_centroid_hz"])
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, duration_ms double, rms double, "
+               "peak double, zcr_hz double, spectral_centroid_hz double",
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload",
                   decoder: str = "fake") -> DataFrame:

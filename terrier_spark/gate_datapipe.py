@@ -716,6 +716,47 @@ def _image_pixels_sql() -> str:
     )
 
 
+def q_audio_decode_pcm(spark, sf_dir):
+    # payloads are FULLY-VALID PCM WAVs (8/16/24/32-bit, 1-2 channels)
+    # of a deterministic integer sample formula; the engine must decode
+    # the actual RIFF frames (audiocodec.py) — the oracle recomputes
+    # the stats from the FORMULA with plain numpy
+    from terrier_spark.datapipe.audiocodec import synth_audio_media
+    from terrier_spark.datapipe.multimodal import audio_pcm_stats
+
+    media = synth_audio_media(spark, n=24)
+    return audio_pcm_stats(media)
+
+
+def _audio_pcm_sql() -> str:
+    """Oracle for q_audio_decode_pcm: exact integer stats recomputed
+    from synth_pcm_array's closed-form sample field."""
+    import numpy as _np
+
+    from terrier_spark.datapipe.audiocodec import synth_pcm_array
+
+    rows = []
+    for i in range(24):
+        s, rate, _bits = synth_pcm_array(i)
+        ch0 = s[:, 0]
+        neg = ch0 < 0
+        zc = int(_np.count_nonzero(neg[:-1] != neg[1:]))
+        rows.append(
+            f"({i}, {rate}, {s.shape[1]}, {s.shape[0]}, "
+            f"{int(s.sum(dtype='int64'))}, {int(s.min())}, "
+            f"{int(s.max())}, {zc})")
+    return (
+        "SELECT media_id::BIGINT AS media_id,"
+        " sample_rate::INT AS sample_rate, channels::INT AS channels,"
+        " n_frames::BIGINT AS n_frames, samp_sum::BIGINT AS samp_sum,"
+        " samp_min::BIGINT AS samp_min, samp_max::BIGINT AS samp_max,"
+        " zero_cross::INT AS zero_cross\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, sample_rate, channels, n_frames, samp_sum,"
+        " samp_min, samp_max, zero_cross)"
+    )
+
+
 def q_av_metadata(spark, sf_dir):
     # payloads carry REAL audio/video container headers (RIFF/WAVE fmt
     # + data chunks, FLAC STREAMINFO, MPEG1-LayerIII frame sync behind
@@ -1067,6 +1108,7 @@ DATAPIPE_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "image_metadata": q_image_metadata,
     "image_decode_pixels": q_image_decode_pixels,
+    "audio_decode_pcm": q_audio_decode_pcm,
     "av_metadata": q_av_metadata,
     "language_id_trigram": q_lang_id_trigram,
 }
@@ -1091,6 +1133,7 @@ DATAPIPE_ORACLE_SQL = {
     "multimodal_features": _multimodal_sql(),
     "image_metadata": _image_meta_sql(),
     "image_decode_pixels": _image_pixels_sql(),
+    "audio_decode_pcm": _audio_pcm_sql(),
     "av_metadata": _av_meta_sql(),
     "language_id_trigram": _lang_trigram_sql(),
 }

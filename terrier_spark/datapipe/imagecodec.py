@@ -375,6 +375,125 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> list:
     return out[:expect]
 
 
+def decode_gif_frames(data: bytes) -> list:
+    """Animated GIF -> [(delay_ms, canvas (H,W,3) RGB uint8), ...] with
+    frames COMPOSITED onto the logical screen: per-frame left/top
+    offsets, Graphics Control Extension delays, transparency (index
+    pixels show through from the previous canvas) and disposal methods
+    0/1 (leave) and 2 (restore to background = zeros).  Disposal 3
+    (restore-previous) is treated as leave — documented subset.
+    A zero GCE delay is reported as 100 ms (the common player default)."""
+    if data[:3] != b"GIF" or data[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF stream")
+    if len(data) < 14:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8
+                            ).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames = []
+    delay_ms = 100
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # Graphics Control Ext
+                gpacked = data[pos + 1]
+                (delay_cs,) = struct.unpack("<H", data[pos + 2:pos + 4])
+                delay_ms = delay_cs * 10 or 100
+                transparent = data[pos + 4] if gpacked & 0x01 else None
+                disposal = (gpacked >> 2) & 0x07
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            lct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8
+                                    ).reshape(-1, 3)
+                pos += 3 * n
+            if lct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = np.asarray(
+                _lzw_decode(b"".join(chunks), min_code_size, iw * ih),
+                dtype=np.int32,
+            ).reshape(ih, iw)
+            if ipacked & 0x40:
+                order = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2)])
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            if int(idx.max(initial=0)) >= lct.shape[0]:
+                raise ValueError("GIF index out of color-table range")
+            region = canvas[top:top + ih, left:left + iw]
+            painted = lct[idx]
+            if transparent is not None:
+                opaque = (idx != transparent)[:, :, None]
+                painted = np.where(opaque, painted, region)
+            canvas[top:top + ih, left:left + iw] = painted
+            frames.append((delay_ms, canvas.copy()))
+            if disposal == 2:
+                canvas[top:top + ih, left:left + iw] = 0
+            delay_ms, transparent, disposal = 100, None, 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF has no image frame")
+    return frames
+
+
+def encode_gif_animation(frames, delays_ms=None) -> bytes:
+    """[(H,W) uint8 gray frames] (all the logical-screen size) -> an
+    animated GIF89a with per-frame Graphics Control delays — the test
+    generator for decode_gif_frames."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    if delays_ms is None:
+        delays_ms = [100] * len(frames)
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h)
+                    + bytes([0xF7, 0x00, 0x00]) + gct)
+    for img, delay in zip(frames, delays_ms):
+        if img.shape != (h, w):
+            raise ValueError("all frames must match the screen size")
+        out += (b"\x21\xf9\x04" + bytes([0x00])
+                + struct.pack("<H", max(delay // 10, 1)) + b"\x00\x00")
+        lzw = _lzw_encode(img.reshape(-1).tolist(), 8)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00\x08"
+        for i in range(0, len(lzw), 255):
+            out += bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     """uint8 (H,W) palette-index-is-gray-level image -> GIF89a bytes
     with a 256-entry grayscale color table (decoding yields (H,W,3)

@@ -233,6 +233,43 @@ def synth_pixel_array(i: int):
             % 256).astype(np.uint8)
 
 
+def synth_animation_media(spark, n: int = 18) -> DataFrame:
+    """Media table of FULLY-VALID animated GIFs: per-row frame count,
+    delays and pixel fields are closed-form functions of the row id
+    (see synth_animation_frames), so the frame visible at any sampled
+    timestamp — and its pixel statistics — can be recomputed without
+    the codecs."""
+    from terrier_spark.datapipe.imagecodec import encode_gif_animation
+    from terrier_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for i in range(n):
+        frames, delays = synth_animation_frames(i)
+        payload = encode_gif_animation(frames, delays)
+        h, w = frames[0].shape
+        rows.append((i, "video", "image/gif", int(w), int(h),
+                     int(sum(delays)), bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_animation_frames(i: int):
+    """The deterministic animation behind synth_animation_media:
+
+        n_frames = 2 + i % 4,  w = 8 + i % 9,  h = 8 + i % 7
+        delays_ms[k] = 40 * (1 + (i + k) % 3)
+        frame_k[y, x] = (3*x + 7*y + 17*i + 29*k) % 256  (gray)
+    """
+    import numpy as np
+
+    n_frames = 2 + i % 4
+    w, h = 8 + i % 9, 8 + i % 7
+    y, x = np.mgrid[0:h, 0:w]
+    frames = [((3 * x + 7 * y + 17 * i + 29 * k) % 256).astype(np.uint8)
+              for k in range(n_frames)]
+    delays = [40 * (1 + (i + k) % 3) for k in range(n_frames)]
+    return frames, delays
+
+
 def synth_image_media(spark, n: int = 40, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads carry REAL container
     headers (dims a pure function of the row id), so header-derived

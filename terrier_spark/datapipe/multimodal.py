@@ -146,6 +146,41 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def frame_pixel_stats(df: DataFrame, frame_col: str = "frame",
+                      id_col: str = "media_id",
+                      ts_col: str = "ts_ms") -> DataFrame:
+    """Per-sampled-frame pixel statistics (the sample_frames companion):
+    (media_id, ts_ms, frame) -> (media_id, ts_ms, width, height,
+    pix_sum); undecodable frames yield nulls."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.datapipe.imagecodec import decode_image
+
+        for pdf in batches:
+            recs = []
+            for mid, t, b in zip(pdf[id_col], pdf[ts_col], pdf[frame_col]):
+                dec = decode_image(b)
+                if dec is None:
+                    recs.append((mid, t, None, None, None))
+                    continue
+                arr, _fmt = dec
+                h, w = arr.shape[:2]
+                recs.append((mid, t, w, h, int(arr.sum(dtype=np.int64))))
+            out = pd.DataFrame(
+                recs, columns=["media_id", "ts_ms", "width", "height",
+                               "pix_sum"])
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            out["pix_sum"] = pd.array(out["pix_sum"], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, ts_ms long, width int, height int, "
+               "pix_sum long",
+    )
+
+
 def audio_pcm_stats(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id") -> DataFrame:
     """Real WAV PCM decode -> exact integer per-clip statistics,
@@ -290,24 +325,54 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                   id_col: str = "media_id",
                   duration_col: str = "duration_ms",
                   decoder: str = "fake") -> DataFrame:
-    """Video frame sampling: one output row per sampled timestamp; fake
-    mode emits a sha-derived frame token per timestamp.
-    -> (media_id, ts_ms, frame binary)."""
+    """Video frame sampling: one output row per sampled timestamp
+    -> (media_id, ts_ms, frame binary).
+
+    decoder="real" decodes ANIMATED GIF payloads (the one video-ish
+    container with a pure-stdlib path, imagecodec.decode_gif_frames):
+    the frame visible at each sampled timestamp is composited and
+    re-encoded as PNG.  Payloads that are not animated GIFs (MP4/AVI
+    need real video codecs absent from this environment) produce ZERO
+    rows — frame sampling is an explode, so "undecodable" is an empty
+    explode; left-join against the input to find skipped media.
+    Fake mode emits a sha-derived frame token per timestamp (plumbing
+    tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from terrier_spark.datapipe.imagecodec import (
+            decode_gif_frames,
+            encode_png,
+        )
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError("ffmpeg not available; decoder='fake'")
             ids, ts, frames = [], [], []
             for row in pdf.itertuples():
-                dur = int(getattr(row, duration_col) or 0)
                 payload = getattr(row, payload_col) or b""
-                for t in range(0, max(dur, 1), every_ms):
-                    ids.append(getattr(row, id_col))
-                    ts.append(t)
-                    frames.append(
-                        hashlib.sha256(payload + t.to_bytes(8, "little")).digest()
-                    )
+                if decoder == "real":
+                    try:
+                        seq = decode_gif_frames(bytes(payload))
+                    except ValueError:
+                        continue
+                    starts = np.cumsum([0] + [d for d, _ in seq[:-1]])
+                    total = int(starts[-1] + seq[-1][0])
+                    png_cache: dict = {}
+                    for t in range(0, max(total, 1), every_ms):
+                        k = int(np.searchsorted(starts, t, side="right") - 1)
+                        if k not in png_cache:
+                            png_cache[k] = encode_png(seq[k][1])
+                        ids.append(getattr(row, id_col))
+                        ts.append(t)
+                        frames.append(png_cache[k])
+                else:
+                    dur = int(getattr(row, duration_col) or 0)
+                    for t in range(0, max(dur, 1), every_ms):
+                        ids.append(getattr(row, id_col))
+                        ts.append(t)
+                        frames.append(
+                            hashlib.sha256(
+                                payload + t.to_bytes(8, "little")
+                            ).digest()
+                        )
             yield pd.DataFrame(
                 {"media_id": ids, "ts_ms": ts, "frame": frames}
             )

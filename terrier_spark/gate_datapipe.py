@@ -757,6 +757,53 @@ def _audio_pcm_sql() -> str:
     )
 
 
+_FRAME_SAMPLE_MS = 70
+
+
+def q_video_frame_sample(spark, sf_dir):
+    # payloads are FULLY-VALID animated GIFs (multi-frame LZW streams
+    # with Graphics Control delays); the engine must decode + composite
+    # the frame visible at each sampled timestamp, re-encode it as PNG,
+    # then decode THAT to report pixel stats — two real codec passes.
+    # The oracle recomputes everything from the closed-form animation.
+    from terrier_spark.datapipe.imagemeta import synth_animation_media
+    from terrier_spark.datapipe.multimodal import (
+        frame_pixel_stats,
+        sample_frames,
+    )
+
+    media = synth_animation_media(spark, n=18)
+    frames = sample_frames(media, every_ms=_FRAME_SAMPLE_MS, decoder="real")
+    return frame_pixel_stats(frames)
+
+
+def _video_frames_sql() -> str:
+    """Oracle for q_video_frame_sample: the sampled timestamps, visible
+    frame index and its pixel sum recomputed from the generator's
+    closed-form frames/delays (gray -> 3 replicated RGB channels)."""
+    import numpy as _np
+
+    from terrier_spark.datapipe.imagemeta import synth_animation_frames
+
+    rows = []
+    for i in range(18):
+        frames, delays = synth_animation_frames(i)
+        starts = _np.cumsum([0] + delays[:-1])
+        total = int(starts[-1] + delays[-1])
+        h, w = frames[0].shape
+        for t in range(0, max(total, 1), _FRAME_SAMPLE_MS):
+            k = int(_np.searchsorted(starts, t, side="right") - 1)
+            s = 3 * int(frames[k].sum(dtype="int64"))
+            rows.append(f"({i}, {t}, {w}, {h}, {s})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, ts_ms::BIGINT AS ts_ms,"
+        " width::INT AS width, height::INT AS height,"
+        " pix_sum::BIGINT AS pix_sum\n"
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, ts_ms, width, height, pix_sum)"
+    )
+
+
 def q_av_metadata(spark, sf_dir):
     # payloads carry REAL audio/video container headers (RIFF/WAVE fmt
     # + data chunks, FLAC STREAMINFO, MPEG1-LayerIII frame sync behind
@@ -1109,6 +1156,7 @@ DATAPIPE_QUERIES = {
     "image_metadata": q_image_metadata,
     "image_decode_pixels": q_image_decode_pixels,
     "audio_decode_pcm": q_audio_decode_pcm,
+    "video_frame_sample": q_video_frame_sample,
     "av_metadata": q_av_metadata,
     "language_id_trigram": q_lang_id_trigram,
 }
@@ -1134,6 +1182,7 @@ DATAPIPE_ORACLE_SQL = {
     "image_metadata": _image_meta_sql(),
     "image_decode_pixels": _image_pixels_sql(),
     "audio_decode_pcm": _audio_pcm_sql(),
+    "video_frame_sample": _video_frames_sql(),
     "av_metadata": _av_meta_sql(),
     "language_id_trigram": _lang_trigram_sql(),
 }

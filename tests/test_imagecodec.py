@@ -276,3 +276,86 @@ def test_real_resize_spark(spark):
         arr, fmt = decode_image(bytes(r["payload"]))
         assert fmt == "png"
         assert arr.shape[:2] == (8, 10)
+
+
+# ------------------------------------------------------------ animated GIF
+
+def test_gif_animation_roundtrip():
+    from terrier_spark.datapipe.imagecodec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    frames = [_pattern(6, 9, seed=k) for k in range(3)]
+    seq = decode_gif_frames(encode_gif_animation(frames, [40, 80, 120]))
+    assert [d for d, _ in seq] == [40, 80, 120]
+    for (_, canvas), f in zip(seq, frames):
+        for ch in range(3):
+            np.testing.assert_array_equal(canvas[:, :, ch], f)
+
+
+def test_gif_animation_transparency_and_disposal():
+    """Hand-built 2-frame GIF: frame 2 is a 1x1 sub-rectangle at (1,1)
+    whose single pixel is the transparent index -> the composited second
+    canvas must equal the first (pixel shows through); then a disposal-2
+    frame region is cleared before the third frame composites."""
+    from terrier_spark.datapipe.imagecodec import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    def subblocks(payload):
+        return b"".join(
+            bytes([len(payload[i:i + 255])]) + payload[i:i + 255]
+            for i in range(0, len(payload), 255)) + b"\x00"
+
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    f1 = _pattern(4, 4, seed=1)
+    base = (b"GIF89a" + struct.pack("<HH", 4, 4)
+            + bytes([0xF7, 0, 0]) + gct)
+    # frame 1: full size, disposal 2 (restore bg after), delay 50ms
+    img1 = (b"\x21\xf9\x04" + bytes([0x08]) + struct.pack("<H", 5)
+            + b"\x00\x00"
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00\x08"
+            + subblocks(_lzw_encode(f1.reshape(-1).tolist(), 8)))
+    # frame 2: 1x1 at (1,1), transparent index 7, delay 50ms
+    img2 = (b"\x21\xf9\x04" + bytes([0x01]) + struct.pack("<H", 5)
+            + bytes([7]) + b"\x00"
+            + b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1) + b"\x00\x08"
+            + subblocks(_lzw_encode([7], 8)))
+    seq = decode_gif_frames(base + img1 + img2 + b"\x3b")
+    assert len(seq) == 2 and seq[0][0] == 50
+    np.testing.assert_array_equal(seq[0][1][:, :, 0], f1)
+    # after frame 1's disposal-2 the full region is cleared to 0; the
+    # transparent 1x1 frame then shows the CLEARED canvas -> all zeros
+    assert int(seq[1][1].sum()) == 0
+
+
+def test_sample_frames_real_spark(spark):
+    from terrier_spark.datapipe.imagemeta import (
+        synth_animation_frames,
+        synth_animation_media,
+    )
+    from terrier_spark.datapipe.multimodal import sample_frames
+
+    media = synth_animation_media(spark, n=6)
+    out = sample_frames(media, every_ms=70, decoder="real").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(range(6))
+    for i, rows in by_id.items():
+        frames, delays = synth_animation_frames(i)
+        total = sum(delays)
+        assert len(rows) == len(range(0, max(total, 1), 70))
+        # every emitted frame decodes to a canvas matching a source frame
+        for r in rows:
+            arr, fmt = decode_image(bytes(r["frame"]))
+            assert fmt == "png"
+            assert any(np.array_equal(arr[:, :, 0], f) for f in frames)
+
+    # non-GIF payloads explode to zero rows
+    from terrier_spark.datapipe.multimodal import synth_media
+
+    other = synth_media(spark, n=6).filter("kind = 'video'")
+    assert sample_frames(other, every_ms=500, decoder="real").count() == 0

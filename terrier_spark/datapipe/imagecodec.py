@@ -1,10 +1,9 @@
 """Pure-stdlib image PIXEL codecs: PNG, BMP and GIF decode/encode with
 zlib + struct + numpy — no PIL.  This turns the multimodal `binary`
-column's decode step from a documented stub into a real kernel for the
-three containers whose pixel encodings are stdlib-feasible (PNG's IDAT
-is zlib deflate; BMP is raw rows; GIF is LZW, implemented here).  JPEG
-entropy decoding (DCT + Huffman) stays behind the documented
-NotImplementedError in multimodal.py.
+column's decode step from a documented stub into a real kernel: PNG's
+IDAT is zlib deflate, BMP is raw rows, GIF is LZW (implemented here,
+including animation), and baseline JPEG (Huffman + dequant + IDCT)
+lives in the sibling jpegcodec.py, reached through decode_image.
 
 Format references are the public specifications only: PNG (RFC 2083 /
 ISO 15948) chunk layout + filter algorithms, BMP BITMAPINFOHEADER,
@@ -567,9 +566,11 @@ def _lzw_encode(indices: list, min_code_size: int) -> bytes:
 
 def decode_image(data: Optional[bytes]) -> Optional[Tuple[np.ndarray, str]]:
     """Sniff the container and decode pixels.  -> (array, format) or
-    None when the bytes are not a supported pixel container (JPEG and
-    unknown formats: metadata via imagemeta.py, pixels not stdlib-
-    decodable)."""
+    None when the bytes are not a supported pixel container (baseline
+    JPEG decodes via jpegcodec.py; progressive JPEG and unknown formats
+    yield None — metadata still available via imagemeta.py).  Corrupt
+    or truncated streams also yield None: curation keeps the row and
+    filters on the null, it never crashes the batch."""
     if not data:
         return None
     b = bytes(data)
@@ -580,7 +581,11 @@ def decode_image(data: Optional[bytes]) -> Optional[Tuple[np.ndarray, str]]:
             return decode_bmp(b), "bmp"
         if b[:3] == b"GIF":
             return decode_gif(b), "gif"
-    except ValueError:
+        if b[:2] == b"\xff\xd8":
+            from terrier_spark.datapipe.jpegcodec import decode_jpeg
+
+            return decode_jpeg(b), "jpeg"
+    except (ValueError, IndexError, KeyError, struct.error):
         return None
     return None
 

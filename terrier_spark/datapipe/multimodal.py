@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-Decode kernels: `decoder="real"` uses the pure-stdlib pixel codecs in
-imagecodec.py (PNG/BMP/GIF decode, numpy resize, PNG re-encode) — no
-PIL needed.  JPEG pixel decode (DCT+Huffman) and video frame extraction
-still need codec libraries absent from this environment: those paths
-raise NotImplementedError (per-payload JPEGs degrade to null features,
-documented below).  `decoder="fake"` produces deterministic sha-seeded
-features for plumbing tests.  Everything Spark-side — schemas, batch
-iteration, partition sizing, UDF signatures — is real and tested.
+Decode kernels: `decoder="real"` uses the pure-stdlib codecs — PNG /
+BMP / GIF pixels (imagecodec.py), baseline JPEG (jpegcodec.py,
+Huffman + dequant + IDCT), WAV PCM samples (audiocodec.py), animated
+GIF frame extraction — no PIL/ffmpeg needed.  Containers whose
+decoding genuinely requires codec libraries absent from this
+environment (progressive JPEG, MP3/FLAC/AAC audio frames, MP4/AVI
+video) degrade to null rows / empty explodes, documented per kernel.
+`decoder="fake"` produces deterministic sha-seeded features for
+plumbing tests.  Everything Spark-side — schemas, batch iteration,
+partition sizing, UDF signatures — is real and tested.
 """
 
 from __future__ import annotations
@@ -46,7 +48,8 @@ def _real_features(payload: bytes, dim: int = FEATURE_DIM):
     """Pixel-derived features via the pure-stdlib codecs: 8 shape/stat
     slots (w, h, channels, mean, std, min, max, aspect — all scaled to
     ~[0,1]) + an 8-bin mean-luminance histogram.  Returns None for
-    payloads whose pixels are not stdlib-decodable (JPEG, non-image)."""
+    payloads whose pixels are not stdlib-decodable (progressive JPEG,
+    non-image bytes)."""
     from terrier_spark.datapipe.imagecodec import decode_image
 
     dec = decode_image(payload)
@@ -73,7 +76,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
                     decoder: str = "fake") -> DataFrame:
     """binary payload -> feature vector (array<float>), Arrow-batched.
     -> (media_id, n_bytes, feature array<float>).  decoder="real"
-    decodes PNG/BMP/GIF pixels (imagecodec.py) and emits pixel-stat
+    decodes PNG/BMP/GIF/baseline-JPEG pixels and emits pixel-stat
     features; undecodable payloads get NULL features (kept, not
     dropped — curation filters on `feature IS NULL`)."""
 
@@ -275,7 +278,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload",
                   decoder: str = "fake") -> DataFrame:
-    """Image resize stage.  decoder="real": decode PNG/BMP/GIF pixels
+    """Image resize stage.  decoder="real": decode PNG/BMP/GIF/JPEG pixels
     (imagecodec.py), nearest-neighbor resample to (width, height), and
     re-encode as PNG — payload/mime/dims all updated; rows whose pixels
     are not stdlib-decodable pass through unchanged (filter on

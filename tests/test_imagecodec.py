@@ -238,12 +238,11 @@ def test_real_decode_features_spark(spark):
     rows = {r["media_id"]: r for r in
             decode_features(media, decoder="real").collect()}
     assert len(rows) == 16
-    for i, r in rows.items():
-        if i % 4 == 1:   # JPEG: metadata-only format -> NULL feature
-            assert r["feature"] is None
-        else:            # the synth PNG/GIF/BMP carry junk pixel chunks
-            # -> undecodable too; this synth table tests header parsing
-            assert r["feature"] is None
+    # every synth_image_media payload is header-only (junk stands in for
+    # the pixel chunks/scan) -> real decode yields NULL features for all
+    # four formats; this synth table tests header parsing, not pixels
+    for r in rows.values():
+        assert r["feature"] is None
 
 
 def test_real_pixel_media_features_spark(spark):

@@ -150,6 +150,15 @@ class QueryConfig:
     # two-pass bound computation costs more than the decode it avoids, so
     # search falls back to the exhaustive plan.
     prune_min_postings: int = 100_000
+    # ... and only when the corpus spans enough docid buckets for block
+    # granularity to matter: with ceil(num_docs / bucket_span) below
+    # this floor, pass 1 already decodes a large fraction of the corpus
+    # to bound theta and pass 2 has almost nothing left to skip, so the
+    # two-pass overhead is pure loss (measured 1.7-2.2x slower than the
+    # exhaustive plan on a 5-bucket corpus).  At production scale
+    # (10^6+ docs) any sane bucket_span clears this by orders of
+    # magnitude; tests that exercise the prune on tiny fixtures set 0.
+    prune_min_buckets: int = 16
     # Below this many queries in a batch, the two-pass block-max prune
     # keeps its survivor set lazy (folded into the main job) instead of
     # eagerly materializing it: the eager path costs one extra Spark

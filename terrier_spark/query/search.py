@@ -38,6 +38,14 @@ from terrier_spark.text.pipeline import make_pipeline
 
 log = logging.getLogger("terrier_spark.search")
 
+# Slack subtracted from the pass-1 theta bound wherever it is applied as
+# a row filter: theta and the final document scores are float64 sums of
+# the SAME per-posting values, but summed in different partition orders,
+# so a doc tied exactly at theta can land 1 ULP under it.  Keeping
+# score >= theta - eps rows preserves a valid lower bound (keeping more
+# is always safe — the top-k cut downstream is exact).
+_THETA_EPS = 1e-9
+
 
 def process_queries(queries: Sequence[Tuple[str, str]],
                     pipeline_cfg) -> pd.DataFrame:
@@ -219,7 +227,7 @@ def _decode_agg_udf(model: str, N: int, avgdl: float, T: int,
         if theta_map:
             th = final["qid"].map(theta_map)
             # NaN (qid without a theta) compares False -> kept
-            final = final[~(final["score"] < th)]
+            final = final[~(final["score"] < th - _THETA_EPS)]
         if k is not None and len(final) > k:
             final = final.sort_values(
                 ["qid", "score", "docid"], ascending=[True, False, True],
@@ -370,11 +378,16 @@ def search_terms(
     # most bucket_span distinct docids, so pass 1 can never find k docs
     # in one bucket and theta stays undefined -> every bucket survives.
     # Skip the two-pass instead of paying it for nothing.
+    # ... and a corpus of few docid buckets gives block-granular bounds
+    # nothing to skip: pass 1 decodes ~1/n_buckets of the volume just to
+    # find theta, so the two-pass is pure overhead under the floor
+    n_buckets = -(-N // max(store.bucket_span, 1))
     prune_ok = (
         qcfg.prune
         and qcfg.k < store.bucket_span
         and (spec.prunable or can_field_prune or ms_idx is not None)
         and total_postings >= qcfg.prune_min_postings
+        and n_buckets >= qcfg.prune_min_buckets
     )
     # Bounded-memory batch execution: a degenerate batch (many queries x
     # hot terms) can push the per-job (qid, docid) aggregation state
@@ -439,6 +452,17 @@ def search_terms(
             out = out_c if out is None else out.unionByName(out_c)
         return out
 
+    # per-qid pass-1 theta (a valid lower bound on the kth-best score),
+    # harvested driver-side from the survivor frame whenever the prune
+    # materialized one — the batch path applies it AFTER the hash agg to
+    # cut the rows entering the top-k window exchange (the latency path
+    # applies the same bound in-kernel via the theta column)
+    theta_pdf: Optional[pd.DataFrame] = None
+
+    def _thetas_of(surv: pd.DataFrame) -> Optional[pd.DataFrame]:
+        t = surv[["qid", "theta"]].dropna().drop_duplicates("qid")
+        return t if len(t) else None
+
     if _survivors_pdf is not None:
         # chunk of an over-cap batch: apply the precomputed survivors
         # (label-keyed across the recursion boundary -> this chunk's codes)
@@ -450,6 +474,7 @@ def search_terms(
             schema="qid int, bucket long, theta double",
         )
         joined = joined.join(F.broadcast(surv_df), ["qid", "bucket"])
+        theta_pdf = _thetas_of(surv_coded)
     elif over_cap and prune_ok and (
         # pass 1 of a batch-wide prune decodes ONE bucket per query in a
         # single job; when even that upper bound (queries x bucket_span)
@@ -473,18 +498,30 @@ def search_terms(
                 ),
             )
         joined = joined_pruned
+        theta_pdf = _thetas_of(surv_pdf)
     elif over_cap:
         # unprunable model (or a mega-batch whose pass 1 would itself
         # break the cap): raw-df-estimate split, chunks prune themselves
         return _chunked(per_qid, None)
     elif prune_ok:
         n_queries = qstats["qid"].nunique()
-        joined = _prune_buckets(
-            spark, joined, qcfg, N, avgdl, T_eff,
-            eager=n_queries >= qcfg.prune_eager_min_queries,
-            spec=spec, field_params=field_params, ms_idx=ms_idx,
-            stats_out=stats_out,
-        )
+        eager = n_queries >= qcfg.prune_eager_min_queries
+        if eager:
+            joined, surv_pdf = _prune_buckets(
+                spark, joined, qcfg, N, avgdl, T_eff, eager=True,
+                spec=spec, field_params=field_params, ms_idx=ms_idx,
+                return_survivors=True, stats_out=stats_out,
+            )
+            theta_pdf = _thetas_of(surv_pdf)
+        else:
+            # lazy mode (small batches): the survivor set stays a plan, so
+            # no driver-side theta; the latency path's kernel still applies
+            # the bound from the theta column it carries
+            joined = _prune_buckets(
+                spark, joined, qcfg, N, avgdl, T_eff, eager=False,
+                spec=spec, field_params=field_params, ms_idx=ms_idx,
+                stats_out=stats_out,
+            )
     default_par = spark.sparkContext.defaultParallelism
     n_queries = int(qstats["qid"].nunique())
     if n_queries <= qcfg.agg_in_decode_max_queries:
@@ -534,6 +571,22 @@ def search_terms(
         scored = decoded.groupBy("qid", "docid").agg(
             F.sum("score").alias("score")
         )
+        if theta_pdf is not None:
+            # drop documents that provably cannot reach the top-k BEFORE
+            # the per-qid window: theta <= kth-best score, so score <
+            # theta - eps rows only inflate the window's exchange + sort.
+            # The frame is per-query scalars (tiny), broadcast joined.
+            th_df = spark.createDataFrame(
+                theta_pdf, schema="qid int, theta double"
+            )
+            scored = (
+                scored.join(F.broadcast(th_df), "qid", "left")
+                .filter(
+                    F.col("theta").isNull()
+                    | (F.col("score") >= F.col("theta") - F.lit(_THETA_EPS))
+                )
+                .drop("theta")
+            )
     # label join AFTER the top-k cut: <= k rows per query reach it, so the
     # string qids never touch the decode exchange, the hash-agg, or the
     # top-k sort — only this broadcast join against the tiny label map

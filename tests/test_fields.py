@@ -223,7 +223,7 @@ def test_bm25f_pruned_equals_unpruned(spark, engine, eager_min):
                 field_weights=(2.0, 1.0), field_c=(0.5, 0.9))
     pruned = search(
         spark, store, queries,
-        QueryConfig(prune=True, prune_min_postings=0,
+        QueryConfig(prune=True, prune_min_postings=0, prune_min_buckets=0,
                     prune_eager_min_queries=eager_min, **base),
     ).orderBy("qid", "rank").toPandas()
     unpruned = search(

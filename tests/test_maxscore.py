@@ -141,7 +141,7 @@ def test_pruned_equals_unpruned_nonmonotone(spark, compacted, model):
     a = (
         search(spark, store, queries,
                QueryConfig(model=model, k=20, prune=True,
-                           prune_min_postings=0, prune_eager_min_queries=1))
+                           prune_min_postings=0, prune_min_buckets=0, prune_eager_min_queries=1))
         .orderBy("qid", "rank").toPandas()
     )
     b = (
@@ -171,7 +171,7 @@ def test_pruned_equals_unpruned_fractional_qtf(spark, compacted):
     for model in ("PL2", "DPH", "BM25"):
         a = search_terms(
             spark, store, qterms,
-            QueryConfig(model=model, k=15, prune=True, prune_min_postings=0,
+            QueryConfig(model=model, k=15, prune=True, prune_min_postings=0, prune_min_buckets=0,
                         prune_eager_min_queries=1),
         ).orderBy("qid", "rank").toPandas()
         b = search_terms(
@@ -185,7 +185,7 @@ def test_pruned_equals_unpruned_fractional_qtf(spark, compacted):
 def test_pl2_pruned_rank_identity_vs_oracle(spark, compacted):
     store, oracle = compacted
     queries = make_queries(oracle, seed=7, n=9)
-    qcfg = QueryConfig(model="PL2", k=25, prune=True, prune_min_postings=0)
+    qcfg = QueryConfig(model="PL2", k=25, prune=True, prune_min_postings=0, prune_min_buckets=0)
     got = (
         search(spark, store, queries, qcfg).orderBy("qid", "rank").toPandas()
     )
@@ -237,7 +237,7 @@ def test_prune_actually_prunes(spark, compacted):
     if n_buckets < 4:
         pytest.skip("corpus too small to observe pruning")
     # k=1 makes theta the max score -> most buckets should fall
-    qcfg = QueryConfig(model="PL2", k=1, prune=True, prune_min_postings=0,
+    qcfg = QueryConfig(model="PL2", k=1, prune=True, prune_min_postings=0, prune_min_buckets=0,
                        prune_eager_min_queries=1)
     res = search(spark, store, [("q", term)], qcfg).collect()
     assert len(res) == 1
@@ -272,7 +272,7 @@ def test_field_models_pruned_equals_unpruned(spark, compacted_fields, model):
     a = (
         search(spark, store, queries,
                QueryConfig(model=model, k=20, prune=True,
-                           prune_min_postings=0, prune_eager_min_queries=1))
+                           prune_min_postings=0, prune_min_buckets=0, prune_eager_min_queries=1))
         .orderBy("qid", "rank").toPandas()
     )
     b = (
@@ -292,7 +292,7 @@ def test_field_models_nondefault_params_fall_back(spark, compacted_fields):
     not consume them (and must still be correct, pruned or not)."""
     store, pdf = compacted_fields
     queries = [("0", "sym1 if return")]
-    qcfg = QueryConfig(model="PL2F", k=10, prune=True, prune_min_postings=0,
+    qcfg = QueryConfig(model="PL2F", k=10, prune=True, prune_min_postings=0, prune_min_buckets=0,
                        field_weights=(2.0, 1.0), field_c=(1.0, 0.5))
     a = search(spark, store, queries, qcfg).orderBy("rank").toPandas()
     b = search(

@@ -99,7 +99,7 @@ def test_merge_bucket_invariant_and_pruning(spark, tmp_path):
     q = [("q", " ".join(usable[:4]))]
     pruned = search(
         spark, merged, q,
-        QueryConfig(k=15, prune=True, prune_min_postings=1),
+        QueryConfig(k=15, prune=True, prune_min_postings=1, prune_min_buckets=0),
     ).orderBy("rank").collect()
     full = search(
         spark, merged, q, QueryConfig(k=15, prune=False)

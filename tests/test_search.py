@@ -81,7 +81,7 @@ def test_rank_identity_pruned(spark, engine):
     store, oracle = engine
     queries = make_queries(oracle)
     run_and_compare(spark, store, oracle, queries,
-                    QueryConfig(k=50, prune=True, prune_min_postings=0, ignore_low_idf=False))
+                    QueryConfig(k=50, prune=True, prune_min_postings=0, prune_min_buckets=0, ignore_low_idf=False))
 
 
 def test_rank_identity_synth_corpus(spark, tmp_path):
@@ -103,15 +103,23 @@ def test_rank_identity_synth_corpus(spark, tmp_path):
     run_and_compare(spark, store, oracle, queries, qcfg)
 
 
-@pytest.mark.parametrize("eager_min", [0, 1_000_000],
-                         ids=["eager_survivors", "lazy_survivors"])
-def test_pruned_equals_unpruned(spark, engine, eager_min):
+@pytest.mark.parametrize(
+    "eager_min,agg_max",
+    [(0, 32), (1_000_000, 32), (0, 0), (1_000_000, 0)],
+    ids=["eager_latency", "lazy_latency", "eager_batch", "lazy_batch"],
+)
+def test_pruned_equals_unpruned(spark, engine, eager_min, agg_max):
+    # agg_max=0 forces the BATCH path (per-posting decode -> JVM hash agg
+    # -> theta filter -> top-k window) even for this small query set, so
+    # the driver-side theta bound applied after the aggregation is
+    # exercised against the exhaustive plan too
     store, oracle = engine
     queries = make_queries(oracle, n_per_bucket=2, seed=7)
     a = (
         search(spark, store, queries,
-               QueryConfig(k=20, prune=True, prune_min_postings=0,
-                           prune_eager_min_queries=eager_min))
+               QueryConfig(k=20, prune=True, prune_min_postings=0, prune_min_buckets=0,
+                           prune_eager_min_queries=eager_min,
+                           agg_in_decode_max_queries=agg_max))
         .orderBy("qid", "rank").toPandas()
     )
     b = (

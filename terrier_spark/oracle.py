@@ -232,6 +232,11 @@ class OracleIndex:
                         qcfg.model, tf, self.doclen[docid], qtf, nt, F_c,
                         self.num_docs, self.avgdl, self.num_tokens,
                     )
+                    if math.isnan(s):
+                        # mirrors the engine: undefined (NaN) per-posting
+                        # contributions are dropped (search.py decode
+                        # kernel), never propagated into doc scores
+                        continue
                     acc[docid] = acc.get(docid, 0.0) + s
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[: qcfg.k]

@@ -156,6 +156,27 @@ def _decode_score_udf(model: str, N: int, avgdl: float, T: int,
                 else:
                     scores = kernel(tfs, dls, row.qtf, row.nt, row.tfc,
                                     N, avgdl, T)
+                # Undefined (NaN) contributions are DROPPED here, at the
+                # per-posting source, so every aggregation path agrees.
+                # BB2-family formulas are NaN outside their domain
+                # (stirlingPower(F, F - TF) with normalised TF > F on
+                # short docs — reference BB2.java:90 behaves the same);
+                # the reference then ranks NaN docs FIRST
+                # (Double.compare treats NaN as greatest).  We diverge
+                # deliberately: propagating NaN would rank numerically
+                # degenerate docs at the top, and the two agg paths
+                # (JVM hash-agg, whose Arrow input turns pandas NaN
+                # into NULLs that F.sum skips, vs the in-kernel numpy
+                # combine, where NaN poisons the doc sum) could never
+                # agree on it.  Block-max bounds stay valid: dropping a
+                # contribution only lowers a doc's score, and a
+                # NaN-poisoned block max keeps its bucket unpruned.
+                bad = np.isnan(scores)
+                if bad.any():
+                    keep = ~bad
+                    ids, scores = ids[keep], scores[keep]
+                    if ids.size == 0:
+                        continue
                 # int32 qid codes, not strings: object-dtype qid columns
                 # dominated the Arrow exchange bytes and the JVM hash-agg
                 # key cost in the DRAM-bound batch phase (VERDICT r4 #2a)

@@ -155,6 +155,48 @@ def test_pruned_equals_unpruned_nonmonotone(spark, compacted, model):
         assert x == pytest.approx(y, abs=1e-9)
 
 
+def test_nan_contributions_dropped_on_every_path(spark, compacted):
+    """NaN contract (search.py decode kernel): a per-posting score that
+    is NaN (BB2 outside its stirling domain on this fixture) is dropped
+    at the source, so (a) no NaN/NULL ever reaches a result, (b) the
+    in-kernel numpy combine and the JVM hash-agg path return identical
+    rows (they disagree on NaN otherwise: Arrow turns pandas NaN into
+    NULLs that F.sum skips, numpy poisons the doc sum), and (c) the
+    OracleIndex applies the same rule."""
+    store, oracle = compacted
+    queries = make_queries(oracle)
+    cfg = dict(model="BB2", k=20, prune=False)
+    lat = (
+        search(spark, store, queries, QueryConfig(**cfg))
+        .orderBy("qid", "rank").toPandas()
+    )
+    jvm = (
+        search(spark, store, queries,
+               QueryConfig(**cfg, agg_in_decode_max_queries=0))
+        .orderBy("qid", "rank").toPandas()
+    )
+    assert not lat["score"].isna().any()
+    assert not jvm["score"].isna().any()
+    assert list(lat["qid"]) == list(jvm["qid"])
+    assert list(lat["docid"]) == list(jvm["docid"])
+    np.testing.assert_allclose(lat["score"], jvm["score"], atol=1e-9)
+    # the fixture genuinely exercises the domain edge (scalar kernel is
+    # NaN somewhere) ...
+    assert any(
+        np.isnan(get_model("BB2").kernel(
+            np.array([tf]), np.array([oracle.doclen[d]]), 1.0,
+            oracle.nt(t), oracle.tf_collection(t), oracle.num_docs,
+            oracle.avgdl, oracle.num_tokens,
+        ))[0]
+        for t, pl in oracle.postings.items() for d, tf in pl.items()
+    )
+    # ... and the oracle ranks match the engine under the shared rule
+    for qid, qtext in queries:
+        got = lat[lat["qid"] == qid]
+        exp = oracle.search(qtext, QueryConfig(model="BB2", k=20))
+        assert list(got["docid"]) == [d for d, _ in exp]
+
+
 def test_pruned_equals_unpruned_fractional_qtf(spark, compacted):
     """PRF re-entry uses fractional qtf weights; the exact scale factor
     (not a q>=1 approximation) must stay bound-safe there."""

@@ -68,14 +68,19 @@ SEED = 42
 
 
 def make_topical_queries(n_per_bucket: int = 100, p_shared: float = 0.2,
-                         seed: int = SEED):
+                         seed: int = SEED, vocab: int = None,
+                         topics: int = None):
     """900 queries (lengths 2..10 x n_per_bucket), each anchored to one
     topic: terms Zipf-sampled from that topic's vocabulary slice, with
     p_shared of the terms drawn from the shared (stopword-like) head —
-    the hot+selective mix real query logs show."""
+    the hot+selective mix real query logs show.  vocab/topics default to
+    this module's PRUNING_* protocol constants; scaling_bench passes its
+    own so the two benches can share one generator."""
     from terrier_spark.index.corpus import topical_slice_ranks, zipf_token
 
-    n_shared, slice_size = topical_slice_ranks(VOCAB, TOPICS)
+    vocab = VOCAB if vocab is None else vocab
+    topics = TOPICS if topics is None else topics
+    n_shared, slice_size = topical_slice_ranks(vocab, topics)
 
     def zipf_cum(n):
         c = np.cumsum(1.0 / np.arange(1, n + 1, dtype=np.float64))
@@ -87,7 +92,7 @@ def make_topical_queries(n_per_bucket: int = 100, p_shared: float = 0.2,
     qid = 0
     for length in range(2, 11):
         for _ in range(n_per_bucket):
-            topic = int(rng.integers(0, TOPICS))
+            topic = int(rng.integers(0, topics))
             toks = []
             for _ in range(length):
                 if rng.random() < p_shared:

@@ -277,7 +277,15 @@ def query_worker(cpus: int) -> None:
     )
     try:
         store = IndexStore(index_dir)
-        queries = make_zipf_queries(vocab_size)
+        if os.environ.get("SCALING_CORPUS", "zipf") == "topical":
+            from pruning_bench import make_topical_queries
+
+            queries = make_topical_queries(
+                vocab=vocab_size,
+                topics=int(os.environ.get("SCALING_TOPICS", "50")),
+            )
+        else:
+            queries = make_zipf_queries(vocab_size)
         # the score-cell chunking cap bounds PER-JOB aggregation state,
         # which lives in the executors: size it to the AGGREGATE
         # executor heap (n_exec x exec_mb) — hash-partitioned agg state
@@ -339,7 +347,10 @@ def main_queries() -> None:
     host_load = _host_load_block()
     try:
         from terrier_spark.config import IndexConfig
-        from terrier_spark.index.corpus import synth_zipf_corpus
+        from terrier_spark.index.corpus import (
+            synth_topical_corpus,
+            synth_zipf_corpus,
+        )
         from terrier_spark.index.resumable import (
             build_index_resumable,
             compact_postings,
@@ -348,10 +359,24 @@ def main_queries() -> None:
 
         spark = get_spark("qscaling-build", cpus=os.cpu_count(),
                           shuffle_partitions=os.cpu_count())
-        corpus = synth_zipf_corpus(spark, n_docs, vocab_size=vocab)
+        # SCALING_CORPUS=topical: scale the PRUNING protocol instead of
+        # the uniform Zipf one — topic-clustered corpus, reordered
+        # docids, 8192 bucket span (pruning_bench.py's arms), so the
+        # two-level run measures how the PRUNED plan scales.  The
+        # uniform corpus (default) can't prune, so its run isolates the
+        # exhaustive decode+agg path.
+        corpus_kind = os.environ.get("SCALING_CORPUS", "zipf")
+        if corpus_kind == "topical":
+            corpus = synth_topical_corpus(spark, n_docs, vocab_size=vocab)
+            build_cfg = IndexConfig(sort_docids_by=("repo", "path"))
+            span = int(os.environ.get("SCALING_BUCKET_SPAN", "8192"))
+        else:
+            corpus = synth_zipf_corpus(spark, n_docs, vocab_size=vocab)
+            build_cfg = IndexConfig()
+            span = int(os.environ.get("SCALING_BUCKET_SPAN", "65536"))
         t0 = time.time()
         store = build_index_resumable(spark, corpus, index_dir,
-                                      IndexConfig(), bucket_span=65536)
+                                      build_cfg, bucket_span=span)
         store = compact_postings(spark, store)
         build_sec = round(time.time() - t0, 3)
         n_built = store.stats["num_docs"]
@@ -392,6 +417,7 @@ def main_queries() -> None:
         k = int(os.environ.get("SCALING_K", "1000"))
         protocol = {
             "phase": "queries",
+            "corpus": corpus_kind,
             "zipf_docs": n_docs,
             "zipf_vocab": vocab,
             "levels": LEVELS,
@@ -417,9 +443,10 @@ def main_queries() -> None:
             "host_load": host_load,
         }
         print(json.dumps(report, indent=2))
+        tag = "" if corpus_kind == "zipf" else f"_{corpus_kind.upper()}"
         out_file = (
-            ("BENCH_SCALING_QUERIES.json" if k == 1000
-             else f"BENCH_SCALING_QUERIES_K{k}.json") if is_protocol
+            (f"BENCH_SCALING_QUERIES{tag}.json" if k == 1000
+             else f"BENCH_SCALING_QUERIES{tag}_K{k}.json") if is_protocol
             else "BENCH_SCALING_QUERIES_adhoc.json"
         )
         with open(out_file, "w") as fh:

@@ -68,11 +68,15 @@ def quiet_box(load_before, probe_before: float, probe_after: float,
               max_load: float = 1.0, max_drift: float = 0.05) -> bool:
     """True iff the host was measurably idle around the run: 1-minute
     loadavg below `max_load` when the run started AND the fixed CPU
-    probe drifted < `max_drift` between start and end (external load
-    slows the probe).  `protocol_compliant` checks only the protocol
-    PARAMETERS — a loaded-box run still stamps compliant — so graded
-    comparisons filter on this flag instead of reading the load block."""
-    drift = abs(probe_after - probe_before) / max(probe_before, 1e-9)
+    probe did not SLOW by > `max_drift` between start and end (external
+    load slows the probe; a probe that speeds up means the start-of-run
+    sample was cold — CPU governor ramp, cold page cache — not that a
+    competitor appeared, so only slowdown disqualifies; load present at
+    start instead shows in loadavg).  `protocol_compliant` checks only
+    the protocol PARAMETERS — a loaded-box run still stamps compliant —
+    so graded comparisons filter on this flag instead of reading the
+    load block."""
+    drift = (probe_after - probe_before) / max(probe_before, 1e-9)
     return load_before[0] < max_load and drift < max_drift
 
 

@@ -49,6 +49,41 @@ _THETA_EPS = 1e-9
 # its accumulator with a packed-key unique+bincount pass
 _AGG_COMPACT_ROWS = 1 << 23
 
+# session settings the query path assumes (session.get_spark sets them);
+# a bare SparkSession.builder session measures ~2-3x slower per query
+# purely from these, so flag the mismatch once per application
+_TUNING_CONFS = (
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ("spark.sql.adaptive.enabled", "true"),
+)
+_tuning_checked: set = set()
+
+
+def _check_session_tuning(spark: SparkSession) -> List[str]:
+    """Return the tuning confs this session is missing, warning once per
+    applicationId.  Read-only: never mutates the user's session."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _tuning_checked:
+        return []
+    _tuning_checked.add(app_id)
+    def effective(key: str) -> str:
+        # no-default get resolves Spark's BUILT-IN default (AQE is on by
+        # default since 3.2); a fallback arg would mask it
+        try:
+            return (spark.conf.get(key) or "").lower()
+        except Exception:
+            return ""
+
+    missing = [key for key, want in _TUNING_CONFS if effective(key) != want]
+    if missing:
+        log.warning(
+            "session is missing tuned settings %s — query latency "
+            "measures ~2-3x worse without them; use "
+            "terrier_spark.session.get_spark() or set them on your "
+            "builder", missing,
+        )
+    return missing
+
 
 def process_queries(queries: Sequence[Tuple[str, str]],
                     pipeline_cfg) -> pd.DataFrame:
@@ -366,6 +401,7 @@ def search_terms(
     chunk its slice of the batch-wide pruning survivors (qid, bucket,
     theta) so chunks skip re-pruning."""
     qcfg = qcfg or QueryConfig()
+    _check_session_tuning(spark)
     stats = store.stats
     N, avgdl, T = stats["num_docs"], stats["avg_doclen"], stats["num_tokens"]
 

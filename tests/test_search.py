@@ -230,3 +230,42 @@ def test_scan_pushdown_plan_shape(spark, engine):
     assert cols <= {"term", "bucket", "block", "max_tf", "min_dl",
                     "max_score", "n", "ftf", "fln", "max_ftf_f",
                     "min_fln_f"}, f"over-wide postings scan: {cols}"
+
+
+def test_session_tuning_check(spark, caplog):
+    """The once-per-app session-tuning probe: a tuned session (the test
+    fixture uses get_spark) reports nothing missing; a session missing
+    the Arrow/AQE confs is flagged exactly once per applicationId."""
+    import logging
+
+    import importlib
+
+    # the package attribute `search` is the function (re-exported by
+    # query/__init__), which shadows `import ... as` binding; fetch the
+    # MODULE from the import system instead
+    search_mod = importlib.import_module("terrier_spark.query.search")
+
+    search_mod._tuning_checked.discard(spark.sparkContext.applicationId)
+    assert search_mod._check_session_tuning(spark) == []
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return "false"
+
+    class FakeSC:
+        applicationId = "fake-app-1"
+
+    class FakeSpark:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
+    search_mod._tuning_checked.discard("fake-app-1")
+    with caplog.at_level(logging.WARNING, logger="terrier_spark.search"):
+        missing = search_mod._check_session_tuning(FakeSpark())
+    assert missing == [
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.adaptive.enabled",
+    ]
+    assert any("tuned settings" in r.message for r in caplog.records)
+    # second call on the same app: memoized, silent, no list
+    assert search_mod._check_session_tuning(FakeSpark()) == []

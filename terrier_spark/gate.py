@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import string
 import tempfile
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -868,6 +868,31 @@ def q_bo1_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectionEnrichment.getExpansionTerms
+    (applications/secondary/CollectionEnrichment.java:28-58) over the
+    gate queries: each query's Bo1-expanded `term^weight` list (the
+    reference's QE.ExpandedQuery control value) parsed back to rows.
+    Drives the wrapper itself — normalisation, PRF, weight formatting —
+    with the gate qcfg (the testdata corpus is low-idf-saturated, so
+    the Terrier drop rule must be off for a non-empty feedback set)."""
+    from terrier_spark.query.expansion import get_expansion_terms
+
+    store = gate_index(spark, sf_dir)
+    qcfg = QueryConfig(k=1_000_000, ignore_low_idf=False, prune=True)
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for tw in get_expansion_terms(spark, store, " ".join(terms),
+                                      qcfg=qcfg):
+            term, w = tw.rsplit("^", 1)
+            rows.append((qid, term, float(w)))
+    return (
+        spark.createDataFrame(rows, "qid string, term string, qtf double")
+        .withColumn("qtf_r", F.round(F.col("qtf"), SCORE_DECIMALS))
+        .select("qid", "term", "qtf_r")
+    )
+
+
 def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ad-hoc evaluation (AdhocEvaluation.java) over the gate BM25 run:
     per-query average precision against deterministic qrels
@@ -1098,22 +1123,17 @@ LEFT JOIN firstrel f ON f.qid = q.qid
 """
 
 
-def _bo1_expansion_sql(k: int = GATE_K) -> str:
-    """Full two-pass Bo1 PRF in one DuckDB query, mirroring
-    expand_queries step-for-step: feedback set = top-3 first-pass docs
-    (raw score desc, doc_id asc); tf_x / n-docs-with-term / total_dl
-    from the feedback token stream (the direct index transpose);
-    w(t) = tf_x*log2((1+f)/f) + log2(1+f) with f = F/N
-    (Bo1.java:score), zeroed for candidates in < 2 feedback docs unless
-    original (DFRBagExpansionTerms.java:85,267); normaliser from the
-    max-weight term's tf_x with n' = T/avgdl (Bo1.java:55-61 quirk,
-    avgdl computed as T/N in double to match the engine's floats);
-    top max(10, |q|) candidates by (w_norm desc, term asc); merged
-    qtf = original 1.0 + w_norm (addTermPropertyWeight); second-pass
-    BM25 with qtf as keyFrequency."""
+def _bo1_expansion_ctes(query_values: Optional[str] = None) -> str:
+    """Shared CTE chain of the Bo1 PRF oracle, ending at `combined`
+    (qid, term, merged qtf) — the expanded query itself.  Used whole by
+    `_bo1_expansion_sql` (second-pass BM25 on top) and cut there by
+    `_expansion_terms_sql` (the CollectionEnrichment surface), so the
+    two oracles cannot drift apart.  `query_values` overrides the gate
+    query VALUES (the enrichment oracle passes its normalised terms)."""
+    qv = _query_values() if query_values is None else query_values
     return f"""
 WITH {TOKS_CTE},
-q(qid, term) AS (VALUES {_query_values()}),
+q(qid, term) AS (VALUES {qv}),
 {_BM25_SCORED_CTES},
 fbsel AS (
   SELECT qid, doc_id FROM (
@@ -1193,7 +1213,23 @@ combined AS (
   FROM top t
   FULL OUTER JOIN (SELECT qid, term, 1.0 AS qtf FROM q) o
     ON o.qid = t.qid AND o.term = t.term
-),
+)"""
+
+
+def _bo1_expansion_sql(k: int = GATE_K) -> str:
+    """Full two-pass Bo1 PRF in one DuckDB query, mirroring
+    expand_queries step-for-step: feedback set = top-3 first-pass docs
+    (raw score desc, doc_id asc); tf_x / n-docs-with-term / total_dl
+    from the feedback token stream (the direct index transpose);
+    w(t) = tf_x*log2((1+f)/f) + log2(1+f) with f = F/N
+    (Bo1.java:score), zeroed for candidates in < 2 feedback docs unless
+    original (DFRBagExpansionTerms.java:85,267); normaliser from the
+    max-weight term's tf_x with n' = T/avgdl (Bo1.java:55-61 quirk,
+    avgdl computed as T/N in double to match the engine's floats);
+    top max(10, |q|) candidates by (w_norm desc, term asc); merged
+    qtf = original 1.0 + w_norm (addTermPropertyWeight); second-pass
+    BM25 with qtf as keyFrequency."""
+    return _bo1_expansion_ctes() + f""",
 scored2 AS (
   -- keyFrequency saturation (BM25.java k3=8): (k3+1)*qtf/(k3+qtf)
   SELECT c.qid, tf.doc_id,
@@ -1218,6 +1254,25 @@ SELECT qid, doc_id,
          AS rank
 FROM scored2
 QUALIFY rank < {k}
+"""
+
+
+def _expansion_terms_sql() -> str:
+    """Expanded-query term weights (the CollectionEnrichment surface):
+    the identical Bo1 CTE chain cut at `combined`, before the second
+    retrieval pass.  The q VALUES are the POST-normalisation terms —
+    the wrapper applies the reference's normaliseString first, whose
+    naive ` or`/` and` replaces mangle e.g. 'order' -> 'der' — so the
+    oracle sees exactly what the engine's first pass sees."""
+    from terrier_spark.query.expansion import normalise_enrichment_query
+
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for t in normalise_enrichment_query(" ".join(terms)).split():
+            rows.append(f"('{qid}', '{t}')")
+    return _bo1_expansion_ctes(", ".join(rows)) + f"""
+SELECT qid, term, CAST(round(qtf, {SCORE_DECIMALS}) AS DOUBLE) AS qtf_r
+FROM combined
 """
 
 
@@ -1759,6 +1814,7 @@ IR_QUERIES = {
     "eval_map": q_eval_map,
     "eval_namedpage": q_eval_namedpage,
     "bo1_expansion_topk": q_bo1_expansion_topk,
+    "expansion_terms": q_expansion_terms,
     "merged_bm25_topk": q_merged_bm25_topk,
     "incremental_bm25_topk": q_incremental_bm25_topk,
 }
@@ -1842,6 +1898,7 @@ WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
     "eval_map": _eval_map_sql(),
     "eval_namedpage": _eval_namedpage_sql(),
     "bo1_expansion_topk": _bo1_expansion_sql(),
+    "expansion_terms": _expansion_terms_sql(),
     # split-build + StructureMerger and 3-batch IncrementalIndex must be
     # indistinguishable from a one-shot build: same BM25 truth
     "merged_bm25_topk": _bm25_sql(),

@@ -343,18 +343,24 @@ def get_expansion_terms(
     qe_model: str = "Bo1",
     n_docs: int = EXPANSION_DOCS,
     n_terms: int = EXPANSION_TERMS,
+    qcfg: "Optional[QueryConfig]" = None,
 ) -> list:
     """CollectionEnrichment.getExpansionTerms
     (org/terrier/applications/secondary/CollectionEnrichment.java:28-58):
     normalise one query, run PRF under (model, qe_model, n_docs,
     n_terms), and return the expanded query as `term^weight` strings —
     the reference's `QE.ExpandedQuery` control value, exposed as a
-    convenience over expand_queries()."""
+    convenience over expand_queries().
+
+    `qcfg`, when given, is used as-is for the first pass (the `model`
+    arg is then ignored) — needed e.g. on low-idf-saturated corpora
+    where the default Terrier drop rule would empty the feedback set."""
     from dataclasses import replace
 
     from terrier_spark.config import QueryConfig
 
-    qcfg = replace(QueryConfig(), model=model)
+    if qcfg is None:
+        qcfg = replace(QueryConfig(), model=model)
     expanded = expand_queries(
         spark, store, [("ce", normalise_enrichment_query(query))],
         qcfg, fb_docs=n_docs, fb_terms=n_terms, qe_model=qe_model,
